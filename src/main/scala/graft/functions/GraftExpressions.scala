@@ -1,0 +1,140 @@
+package graft.functions
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression}
+import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
+import org.apache.spark.sql.graftbridge.{toColumn => column, toExpression => expression}
+import org.apache.spark.sql.types._
+import org.apache.spark.unsafe.types.UTF8String
+
+/**
+ * Static, codegen-callable implementations. Keeping these as plain static
+ * methods lets the expressions below participate in whole-stage codegen
+ * (a single virtual-free call per row) instead of falling back to
+ * interpreted eval — the parse stage sits in the crawl hot path
+ * (SURVEY.md §2.8 U1).
+ */
+object ExprImpl {
+  def extractText(html: UTF8String): UTF8String =
+    if (html == null) null else UTF8String.fromString(TextExtract.extractText(html.toString))
+
+  def extractTextBin(html: Array[Byte]): UTF8String =
+    if (html == null) null
+    else UTF8String.fromString(TextExtract.extractText(new String(html, java.nio.charset.StandardCharsets.UTF_8)))
+
+  private def toArr(xs: Seq[String]): ArrayData =
+    new GenericArrayData(xs.map(UTF8String.fromString).toArray[Any])
+
+  def extractOutlinksBin(html: Array[Byte]): ArrayData =
+    if (html == null) null
+    else toArr(TextExtract.extractOutlinks(new String(html, java.nio.charset.StandardCharsets.UTF_8)))
+
+  def extractTopics(html: UTF8String): ArrayData =
+    if (html == null) null else toArr(TextExtract.extractTopics(html.toString))
+
+  def extractAtUsers(html: UTF8String): ArrayData =
+    if (html == null) null else toArr(TextExtract.extractAtUsers(html.toString))
+
+  def stringToInt(s: UTF8String): Long =
+    if (s == null) 0L else TextExtract.stringToInt(s.toString)
+
+  def canonicalizeUrl(u: UTF8String): UTF8String =
+    if (u == null) null else UTF8String.fromString(graft.crawl.Canonical.canonicalize(u.toString))
+
+  def hostOf(u: UTF8String): UTF8String =
+    if (u == null) null else UTF8String.fromString(graft.crawl.Canonical.host(u.toString))
+}
+
+/** html (string) → extracted text; the engine's per-row invariant expression.
+  * Deterministic and null-intolerant; see TextExtract.extractText. */
+case class ExtractText(child: Expression) extends UnaryExpression {
+  override def dataType: DataType = StringType
+  override def nullSafeEval(v: Any): Any = ExprImpl.extractText(v.asInstanceOf[UTF8String])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.functions.ExprImpl.extractText($c)")
+  override protected def withNewChildInternal(c: Expression): ExtractText = copy(c)
+  override def prettyName: String = "extract_text"
+}
+
+/** html (binary, utf-8 bytes per input_hint `html: binary`) → extracted text. */
+case class ExtractTextBin(child: Expression) extends UnaryExpression {
+  override def dataType: DataType = StringType
+  override def nullSafeEval(v: Any): Any = ExprImpl.extractTextBin(v.asInstanceOf[Array[Byte]])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.functions.ExprImpl.extractTextBin($c)")
+  override protected def withNewChildInternal(c: Expression): ExtractTextBin = copy(c)
+  override def prettyName: String = "extract_text_bin"
+}
+
+/** html (binary) → array of absolute outlink urls (frontier expansion, U5). */
+case class ExtractOutlinks(child: Expression) extends UnaryExpression {
+  override def dataType: DataType = ArrayType(StringType, containsNull = false)
+  override def nullSafeEval(v: Any): Any = ExprImpl.extractOutlinksBin(v.asInstanceOf[Array[Byte]])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.functions.ExprImpl.extractOutlinksBin($c)")
+  override protected def withNewChildInternal(c: Expression): ExtractOutlinks = copy(c)
+  override def prettyName: String = "extract_outlinks"
+}
+
+/** html (string) → topics array (weibo.py:1210-1221). */
+case class ExtractTopics(child: Expression) extends UnaryExpression {
+  override def dataType: DataType = ArrayType(StringType, containsNull = false)
+  override def nullSafeEval(v: Any): Any = ExprImpl.extractTopics(v.asInstanceOf[UTF8String])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.functions.ExprImpl.extractTopics($c)")
+  override protected def withNewChildInternal(c: Expression): ExtractTopics = copy(c)
+  override def prettyName: String = "extract_topics"
+}
+
+/** html (string) → at-user names (weibo.py:1223-1233). */
+case class ExtractAtUsers(child: Expression) extends UnaryExpression {
+  override def dataType: DataType = ArrayType(StringType, containsNull = false)
+  override def nullSafeEval(v: Any): Any = ExprImpl.extractAtUsers(v.asInstanceOf[UTF8String])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.functions.ExprImpl.extractAtUsers($c)")
+  override protected def withNewChildInternal(c: Expression): ExtractAtUsers = copy(c)
+  override def prettyName: String = "extract_at_users"
+}
+
+/** CJK-magnitude count coercion as a native expression (weibo.py:1235-1245). */
+case class StringToIntExpr(child: Expression) extends UnaryExpression {
+  override def dataType: DataType = LongType
+  override def nullSafeEval(v: Any): Any = ExprImpl.stringToInt(v.asInstanceOf[UTF8String])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.functions.ExprImpl.stringToInt($c)")
+  override protected def withNewChildInternal(c: Expression): StringToIntExpr = copy(c)
+  override def prettyName: String = "string_to_int_cjk"
+}
+
+/** URL canonicalization (north rule: seen-set keyed by canonicalized+xxhash64 urls). */
+case class CanonicalizeUrl(child: Expression) extends UnaryExpression {
+  override def dataType: DataType = StringType
+  override def nullSafeEval(v: Any): Any = ExprImpl.canonicalizeUrl(v.asInstanceOf[UTF8String])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.functions.ExprImpl.canonicalizeUrl($c)")
+  override protected def withNewChildInternal(c: Expression): CanonicalizeUrl = copy(c)
+  override def prettyName: String = "canonicalize_url"
+}
+
+/** url → lowercase host (politeness partitioning key). */
+case class UrlHost(child: Expression) extends UnaryExpression {
+  override def dataType: DataType = StringType
+  override def nullSafeEval(v: Any): Any = ExprImpl.hostOf(v.asInstanceOf[UTF8String])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.functions.ExprImpl.hostOf($c)")
+  override protected def withNewChildInternal(c: Expression): UrlHost = copy(c)
+  override def prettyName: String = "url_host"
+}
+
+/** Column-level API for the engine's custom expressions. */
+object gf {
+  def extract_text(c: Column): Column = column(ExtractText(expression(c)))
+  def extract_text_bin(c: Column): Column = column(ExtractTextBin(expression(c)))
+  def extract_outlinks(c: Column): Column = column(ExtractOutlinks(expression(c)))
+  def extract_topics(c: Column): Column = column(ExtractTopics(expression(c)))
+  def extract_at_users(c: Column): Column = column(ExtractAtUsers(expression(c)))
+  def string_to_int_cjk(c: Column): Column = column(StringToIntExpr(expression(c)))
+  def canonicalize_url(c: Column): Column = column(CanonicalizeUrl(expression(c)))
+  def url_host(c: Column): Column = column(UrlHost(expression(c)))
+}
