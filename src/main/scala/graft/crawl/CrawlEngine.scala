@@ -1,0 +1,366 @@
+package graft.crawl
+
+import graft.functions.gf
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.{DataFrame, SparkSession}
+
+/** Seed config row — analog of config.json user_id_list entries
+  * (/root/reference/weibo.py:144-166): a root url plus a [since, end]
+  * crawl window (weibo.py:286-331 normalization). */
+case class Seed(seed_id: String, root_url: String,
+    since_ts: java.sql.Timestamp, end_ts: java.sql.Timestamp)
+
+/**
+ * Crawl policy — the reference's politeness constants generalized per host
+ * (BASELINE.md table; weibo.py:2741,2769-2778 sleep cadence,
+ * weibo.py:1819-1827 page budget).
+ *
+ * @param defaultHostBudget  max fetches per host per micro-batch (the
+ *                           "pages per sleep window" analog)
+ * @param defaultDelayMs     per-fetch token-bucket delay budget within a host
+ * @param perHostBudget      overrides, e.g. a larger-but-bounded budget for
+ *                           the mega-host
+ * @param maxDepth           outlink expansion bound
+ * @param saltBuckets        salt fan-out for mega-host partitions (north
+ *                           rule: salted repartitioning on host-hash)
+ * @param bloomShards        seen-set prefilter shards
+ * @param robotsDisallow     (host, path-prefix) gating rules (north rule)
+ * @param realTimePacing     enforce delays as wall-clock sleeps in the fetch
+ *                           stage (tests keep this off: budgets are modeled
+ *                           as data — fetch ordinals × delay — so runs are
+ *                           replayable; SURVEY.md §7 hard-part 2)
+ */
+case class CrawlConfig(
+    defaultHostBudget: Int = 5,
+    defaultDelayMs: Long = 6000L,
+    perHostBudget: Map[String, Int] = Map.empty,
+    maxDepth: Int = 3,
+    saltBuckets: Int = 8,
+    bloomShards: Int = 8,
+    bloomFpp: Double = 0.01,
+    robotsDisallow: Seq[(String, String)] = Nil,
+    realTimePacing: Boolean = false,
+    shufflePartitions: Int = 32)
+
+/**
+ * The URL-frontier + fetch-scheduler engine (BASELINE.json.north_rule).
+ *
+ * One micro-batch re-expresses the reference's crawl loop
+ * (weibo.py:1663-1817 / SURVEY.md §3.1 step 4) as a declarative plan:
+ *
+ *   frontier ──bloom prefilter──► exact LEFT ANTI JOIN seen      (F2)
+ *           ──robots gating──► per-host window rank (newest-first,
+ *             budget-capped)                                      (W1/W3/F4)
+ *           ──salted repartition on host-hash──► fetch (pages lookup)
+ *           ──warc_ts ∈ [since,end]──► parse (extract_text/outlinks) (F3, U1)
+ *           ──explode outlinks──► new frontier entries            (U5)
+ *           ──MERGE seen/frontier + append fetched/ledger, one atomic
+ *             commit──► resumable exactly at frontier state       (O4)
+ *
+ * All steps are Dataset/Catalyst operators — Catalyst pushes the filters,
+ * AQE picks join strategies and splits skewed partitions; the only
+ * imperative stage is the optional wall-clock pacing sink.
+ */
+class CrawlEngine(
+    spark: SparkSession,
+    pages: DataFrame,
+    stateDir: String,
+    cfg: CrawlConfig = CrawlConfig()) {
+
+  import spark.implicits._
+
+  val store = new StateStore(spark, stateDir)
+
+  /** pages keyed by canonical url — at cluster scale this is the Iceberg
+    * table bucketed by url_hash so the fetch join is shuffle-free. */
+  private lazy val pagesByCanon: DataFrame = pages
+    .withColumn("url_canon", gf.canonicalize_url($"url"))
+    .withColumnRenamed("url", "page_url")
+
+  private def emptyFrontier: DataFrame = Seq.empty[(String, String, Long, String, Int,
+      java.sql.Timestamp, String, java.sql.Timestamp, java.sql.Timestamp, Long)]
+    .toDF("url", "url_canon", "url_hash", "host", "depth", "priority_ts",
+      "seed_id", "since_ts", "end_ts", "discovered_batch")
+
+  private def emptySeen: DataFrame =
+    Seq.empty[(Long, String, Long)].toDF("url_hash", "url_canon", "first_batch")
+
+  /** Seed list → initial frontier (depth 0, priority = end of window so the
+    * newest-first order starts at the seed's cursor, weibo.py:2743). */
+  def frontierFromSeeds(seeds: Seq[Seed]): DataFrame =
+    seeds.toDF("seed_id", "root_url", "since_ts", "end_ts")
+      .withColumn("url", $"root_url")
+      .withColumn("url_canon", gf.canonicalize_url($"url"))
+      .withColumn("url_hash", xxhash64($"url_canon"))
+      .withColumn("host", gf.url_host($"url_canon"))
+      .withColumn("depth", lit(0))
+      .withColumn("priority_ts", $"end_ts")
+      .withColumn("discovered_batch", lit(-1L))
+      .select(emptyFrontier.columns.map(col): _*)
+
+  def initialize(seeds: Seq[Seed]): Unit = {
+    require(store.committedBatch < 0, s"state at $stateDir already initialized")
+    store.write("frontier", -1L, frontierFromSeeds(seeds))
+    store.write("seen", -1L, emptySeen)
+    // version -1 is readable but the pointer still says -1 ⇒ batch 0 is next
+    store.commit(-1L)
+  }
+
+  def frontier(v: Long = store.committedBatch): DataFrame = store.read("frontier", v, emptyFrontier)
+  def seen(v: Long = store.committedBatch): DataFrame = store.read("seen", v, emptySeen)
+  def fetched(upTo: Long = store.committedBatch): Option[DataFrame] = store.readLog("fetched", upTo)
+  def ledger(upTo: Long = store.committedBatch): Option[DataFrame] = store.readLog("ledger", upTo)
+
+  /** Request a stop — the `tasks.command = 'STOP'` analog
+    * (service.py:1419-1432). Checked between batches. */
+  def requestStop(): Unit =
+    java.nio.file.Files.createFile(java.nio.file.Paths.get(stateDir, "_STOP"))
+  def stopRequested: Boolean =
+    java.nio.file.Files.exists(java.nio.file.Paths.get(stateDir, "_STOP"))
+  def clearStop(): Unit =
+    java.nio.file.Files.deleteIfExists(java.nio.file.Paths.get(stateDir, "_STOP"))
+
+  /** Build the sharded bloom prefilter blobs from the committed seen set. */
+  private def bloomBlobs(seenDf: DataFrame, seenCount: Long): Option[Seq[Array[Byte]]] = {
+    if (seenCount == 0) return None
+    val s = cfg.bloomShards
+    val expectedPerShard = math.max(64L, seenCount / s + 1)
+    val rows = seenDf
+      .groupBy(pmod($"url_hash", lit(s.toLong)).as("shard"))
+      .agg(BloomSeen.bloom_build($"url_hash", expectedPerShard, cfg.bloomFpp).as("blob"))
+      .collect()
+    val empty = {
+      val bf = org.apache.spark.util.sketch.BloomFilter.create(64, cfg.bloomFpp)
+      val bos = new java.io.ByteArrayOutputStream(); bf.writeTo(bos); bos.toByteArray
+    }
+    val blobs = Array.fill[Array[Byte]](s)(empty)
+    rows.foreach(r => blobs(r.getLong(0).toInt) = r.getAs[Array[Byte]]("blob"))
+    Some(blobs.toSeq)
+  }
+
+  /** Run one micro-batch; returns the ledger metrics row as a Map. */
+  def runBatch(): Map[String, Long] = {
+    val committed = store.committedBatch
+    val batchId = committed + 1
+
+    val front = frontier(committed)
+    val seenDf = seen(committed)
+    val seenCount = seenDf.count()
+
+    // ---- F2: seen-set dedup — bloom prefilter + authoritative anti-join.
+    // !mightContain ⇒ definitely new (skips the join); mightContain ⇒ maybe
+    // (false positives resolved by the exact anti-join, so a never-seen url
+    // can never be dropped — FIXTURES.md §5.3).
+    val candidates = bloomBlobs(seenDf, seenCount) match {
+      case Some(blobs) =>
+        val probed = front.withColumn("_maybe_seen", BloomSeen.bloom_probe(blobs, $"url_hash"))
+        val definitelyNew = probed.filter(!$"_maybe_seen").drop("_maybe_seen")
+        val resolved = probed.filter($"_maybe_seen").drop("_maybe_seen")
+          .join(seenDf.select("url_hash"), Seq("url_hash"), "left_anti")
+        definitelyNew.unionByName(resolved)
+      case None => front
+    }
+
+    // ---- robots gating (north rule). Small dim ⇒ broadcast; prefix match
+    // is a theta join so Catalyst plans BroadcastNestedLoop — fine for a
+    // dim of rule rows.
+    val robotsBlocked = if (cfg.robotsDisallow.isEmpty) emptyFrontier else {
+      val robots = broadcast(cfg.robotsDisallow.toDF("r_host", "r_prefix"))
+      candidates.join(robots,
+        candidates("host") === robots("r_host") &&
+          expr("parse_url(url_canon, 'PATH')").startsWith(robots("r_prefix")))
+        .select(candidates.columns.map(candidates(_)): _*)
+        .dropDuplicates("url_hash")
+    }
+    val allowed = if (cfg.robotsDisallow.isEmpty) candidates
+      else candidates.join(robotsBlocked.select("url_hash"), Seq("url_hash"), "left_anti")
+
+    // ---- W1/W3/F4: newest-first priority + per-host fetch budget.
+    // The reference pages newest-first and stops at the budget
+    // (weibo.py:2743,1819-1827); rows past the budget stay in the frontier
+    // for the next batch — that IS the paging continuation.
+    val budgetDf = broadcast(
+      (cfg.perHostBudget.toSeq :+ ("" -> cfg.defaultHostBudget))
+        .toDF("b_host", "b_budget"))
+    val w = Window.partitionBy($"host").orderBy($"priority_ts".desc, $"url_canon".asc)
+    val ranked = allowed
+      .filter($"depth" <= cfg.maxDepth)
+      .withColumn("fetch_ordinal", row_number().over(w))
+      .join(budgetDf, $"host" === $"b_host", "left_outer")
+      .withColumn("host_budget", coalesce($"b_budget", lit(cfg.defaultHostBudget)))
+      .drop("b_host", "b_budget")
+    val scheduled = ranked
+      .filter($"fetch_ordinal" <= $"host_budget")
+      .withColumn("sched_delay_ms", ($"fetch_ordinal" - 1) * lit(cfg.defaultDelayMs))
+
+    // ---- O7/O8 inverted: parallel across hosts, sequential within a host
+    // shard. Salt splits the mega-host across partitions while keeping each
+    // (host, salt) shard on one task, which owns its token-bucket.
+    val salted = scheduled
+      .withColumn("host_salt", pmod(xxhash64($"host", pmod($"url_hash", lit(cfg.saltBuckets.toLong))),
+        lit(cfg.shufflePartitions.toLong)))
+      .repartition(cfg.shufflePartitions, $"host_salt")
+
+    // ---- fetch = lookup into the pages corpus (S1 analog; in tests "fetch"
+    // is this join per the driver instruction — no network). left join keeps
+    // dangling outlinks as dead-letter rows (S8's not_downloaded.txt analog).
+    val fetchedRaw = salted.join(
+        pagesByCanon.select($"url_canon", $"page_url", $"warc_ts", $"html", $"text", $"lang"),
+        Seq("url_canon"), "left_outer")
+      .withColumn("found", $"page_url".isNotNull)
+
+    val paced = if (cfg.realTimePacing) pace(fetchedRaw) else fetchedRaw
+
+    // ---- F3 time window + U1 parse + invariant check + U5 outlinks.
+    val parsed = paced
+      .withColumn("in_range", $"found" && $"warc_ts".between($"since_ts", $"end_ts"))
+      .withColumn("text_extracted", when($"found", gf.extract_text_bin($"html")))
+      .withColumn("outlinks", when($"in_range", gf.extract_outlinks($"html")).otherwise(array()))
+      .withColumn("batch_id", lit(batchId))
+      .withColumn("partition_id", spark_partition_id())
+      .persist()
+
+    val schedCount = parsed.count()
+    val notFound = parsed.filter(!$"found").count()
+    val inRange = parsed.filter($"in_range").count()
+    val invariantViolations =
+      parsed.filter($"found" && !($"text_extracted" <=> $"text")).count()
+
+    // lineage per north rule: (partition id, batch id, fetch ordinal)
+    val fetchedOut = parsed.filter($"in_range").select(
+      $"url_canon", $"url_hash", $"host", $"seed_id", $"depth",
+      $"warc_ts", $"lang", $"text_extracted".as("text"),
+      size($"outlinks").as("n_outlinks"),
+      $"batch_id", $"partition_id", $"fetch_ordinal", $"sched_delay_ms")
+
+    val errorsOut = parsed.filter(!$"found").select(
+      $"url_canon", $"url_hash", $"host", $"seed_id", $"depth",
+      lit("NOT_FOUND").as("error"), $"batch_id", $"partition_id")
+
+    // ---- U5: outlink expansion → next frontier entries. Children inherit
+    // the seed window; priority = linking page's warc_ts (recency prior).
+    val discovered = parsed.filter($"in_range")
+      .select($"seed_id", $"since_ts", $"end_ts", $"depth", $"warc_ts",
+        explode($"outlinks").as("url"))
+      .withColumn("url_canon", gf.canonicalize_url($"url"))
+      .withColumn("url_hash", xxhash64($"url_canon"))
+      .withColumn("host", gf.url_host($"url_canon"))
+      .withColumn("child_depth", $"depth" + 1)
+      .filter($"child_depth" <= cfg.maxDepth)
+      .withColumn("priority_ts", $"warc_ts")
+      .withColumn("discovered_batch", lit(batchId))
+      .select($"url", $"url_canon", $"url_hash", $"host", $"child_depth".as("depth"),
+        $"priority_ts", $"seed_id", $"since_ts", $"end_ts", $"discovered_batch")
+      // first-wins dedup within the batch, deterministic tiebreak
+      .withColumn("_rn", row_number().over(
+        Window.partitionBy($"url_hash").orderBy($"priority_ts".desc, $"seed_id".asc, $"url_canon".asc)))
+      .filter($"_rn" === 1).drop("_rn")
+      // robots gating at discovery: a disallowed url never enters the
+      // frontier (candidate-time gating above remains as defense for
+      // pre-existing frontier state / rule changes)
+      .transform(df => if (cfg.robotsDisallow.isEmpty) df else {
+        val robots = broadcast(cfg.robotsDisallow.toDF("r_host", "r_prefix"))
+        df.join(robots,
+            df("host") === robots("r_host") &&
+              expr("parse_url(url_canon, 'PATH')").startsWith(robots("r_prefix")),
+            "left_anti")
+      })
+
+    // processed = attempted fetches + robots-blocked (neither returns to the
+    // frontier; blocked urls are seen-equivalent: never fetch)
+    val processedHashes = parsed.select("url_hash")
+      .unionByName(robotsBlocked.select("url_hash")).distinct().persist()
+
+    val newSeen = seenDf.unionByName(
+        processedHashes
+          .join(front.select($"url_hash", $"url_canon"), Seq("url_hash"))
+          .dropDuplicates("url_hash")
+          .withColumn("first_batch", lit(batchId))
+          .select("url_hash", "url_canon", "first_batch"))
+      .dropDuplicates("url_hash") // MERGE: first-occurrence wins (weibo.py:1698-1699)
+
+    val newFrontier = front
+      .join(processedHashes, Seq("url_hash"), "left_anti")
+      .unionByName(
+        discovered
+          .join(newSeen.select("url_hash"), Seq("url_hash"), "left_anti")
+          .join(front.select("url_hash"), Seq("url_hash"), "left_anti"))
+
+    // ---- atomic multi-table snapshot commit (Iceberg MERGE analog)
+    store.write("frontier", batchId, newFrontier)
+    store.write("seen", batchId, newSeen)
+    store.appendLog("fetched", batchId, fetchedOut)
+    store.appendLog("errors", batchId, errorsOut)
+
+    val frontierSize = frontier(batchId).count() // read-back: what we committed
+    val seenSize = seen(batchId).count()
+    val nPartitions = parsed.select("partition_id").distinct().count()
+    val metrics = Map(
+      "batch_id" -> batchId, "candidates" -> candidates.count(),
+      "scheduled" -> schedCount, "fetched" -> inRange, "not_found" -> notFound,
+      "robots_blocked" -> robotsBlocked.count(),
+      "invariant_violations" -> invariantViolations,
+      "frontier_size" -> frontierSize, "seen_size" -> seenSize,
+      "partitions_used" -> nPartitions)
+    store.appendLog("ledger", batchId,
+      Seq((batchId, "SUCCESS", metrics("candidates"), schedCount, inRange, notFound,
+        metrics("robots_blocked"), invariantViolations, frontierSize, seenSize, nPartitions))
+        .toDF("batch_id", "state", "candidates", "scheduled", "fetched", "not_found",
+          "robots_blocked", "invariant_violations", "frontier_size", "seen_size", "partitions_used"))
+    store.commit(batchId)
+    parsed.unpersist()
+    processedHashes.unpersist()
+    metrics
+  }
+
+  /** Wall-clock token-bucket pacing inside the fetch stage — only when
+    * realTimePacing is on (real crawls). Partitions are sorted by
+    * (host, fetch_ordinal); each task owns its host shards and sleeps the
+    * residual delay budget between fetches of the same host
+    * (weibo.py:2769-2778 analog). Data passes through unchanged. */
+  private def pace(df: DataFrame): DataFrame = {
+    import org.apache.spark.sql.graftbridge
+    val schema = df.schema
+    val hostIdx = schema.fieldIndex("host")
+    val delayMs = cfg.defaultDelayMs
+    val sorted = df.sortWithinPartitions($"host_salt", $"fetch_ordinal")
+    val out = graftbridge.toInternalRdd(sorted).mapPartitions { rows =>
+      var lastHost: String = null
+      var lastAt = 0L
+      rows.map { r =>
+        val host = r.getUTF8String(hostIdx).toString
+        val now = System.currentTimeMillis()
+        if (host == lastHost) {
+          val wait = delayMs - (now - lastAt)
+          if (wait > 0) Thread.sleep(wait)
+        }
+        lastHost = host; lastAt = System.currentTimeMillis()
+        r.copy()
+      }
+    }
+    graftbridge.fromInternalRdd(spark, out, schema)
+  }
+
+  /** Run up to maxBatches (stop early on empty frontier or STOP command).
+    * Resumes from the committed pointer — a killed run restarts at the exact
+    * frontier state (north rule). */
+  def run(maxBatches: Int): Seq[Map[String, Long]] = {
+    val out = Seq.newBuilder[Map[String, Long]]
+    var i = 0
+    var continue = true
+    while (i < maxBatches && continue) {
+      if (stopRequested) {
+        store.appendLog("ledger", store.committedBatch + 1,
+          Seq((store.committedBatch + 1, "STOPPED")).toDF("batch_id", "state"))
+        continue = false
+      } else if (frontier().isEmpty) {
+        continue = false
+      } else {
+        out += runBatch()
+        i += 1
+      }
+    }
+    out.result()
+  }
+}

@@ -17,4 +17,14 @@ object graftbridge {
       builder: Seq[Expression] => Expression): Unit =
     spark.asInstanceOf[classic.SparkSession].sessionState.functionRegistry
       .createOrReplaceTempFunction(name, builder, "scala_udf")
+
+  /** DataFrame → RDD[InternalRow] (post-optimization physical output). */
+  def toInternalRdd(df: Dataset[Row]): org.apache.spark.rdd.RDD[catalyst.InternalRow] =
+    df.asInstanceOf[classic.Dataset[Row]].queryExecution.toRdd
+
+  /** RDD[InternalRow] + schema → DataFrame (no conversion/copy). */
+  def fromInternalRdd(spark: SparkSession,
+      rdd: org.apache.spark.rdd.RDD[catalyst.InternalRow],
+      schema: types.StructType): Dataset[Row] =
+    spark.asInstanceOf[classic.SparkSession].internalCreateDataFrame(rdd, schema)
 }

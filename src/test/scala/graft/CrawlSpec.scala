@@ -1,0 +1,217 @@
+package graft
+
+import java.nio.file.Files
+
+import graft.crawl._
+import graft.functions.TextExtract
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+object SparkTestSession {
+  lazy val spark: SparkSession = SparkSession.builder()
+    .master("local[4]")
+    .appName("graft-test")
+    .config("spark.sql.shuffle.partitions", "4")
+    .config("spark.sql.session.timeZone", "UTC")
+    .config("spark.ui.enabled", "false")
+    .getOrCreate()
+}
+
+/**
+ * End-to-end crawl-engine goldens (FIXTURES.md §5, SURVEY.md §5):
+ * byte-identical parse invariant, reference crawl ordering, seen-set
+ * membership, resume-from-checkpoint, robots gating, politeness budgets,
+ * and determinism across partitioning levels.
+ */
+class CrawlSpec extends AnyFunSuite {
+  lazy val spark: SparkSession = SparkTestSession.spark
+  import spark.implicits._
+
+  private def tmp(): String = Files.createTempDirectory("graft_crawl").toString
+
+  val N = 512L
+  lazy val pagesDF = PagesGen.pages(spark, N, partitions = 4).toDF.persist()
+  lazy val pagesPure = PagesGen.pages(spark, N, partitions = 4, crossLinks = false).toDF.persist()
+
+  def seeds(k: Int): Seq[Seed] = PagesGen.seedRows(N, k).map(Seed.tupled)
+
+  test("invariant: extract_text(html) == text for every generated page (input_hint)") {
+    import graft.functions.gf
+    val bad = pagesDF
+      .withColumn("t2", gf.extract_text_bin($"html"))
+      .filter(!($"t2" <=> $"text"))
+    assert(bad.count() == 0)
+  }
+
+  test("generated corpus: warc_ts strictly decreasing per seed (newest-first timeline)") {
+    val s = PagesGen.numSeeds(N)
+    (0L until 3L).foreach { seed =>
+      val ts = (0L until N / s).map(p => PagesGen.tsOf(seed, p))
+      assert(ts == ts.sortBy(-_), s"seed $seed not newest-first")
+    }
+  }
+
+  test("one batch: fetches seed roots, respects budget, emits lineage") {
+    val eng = new CrawlEngine(spark, pagesDF, tmp(),
+      CrawlConfig(defaultHostBudget = 3, shufflePartitions = 4))
+    eng.initialize(seeds(6))
+    val m = eng.runBatch()
+    assert(m("invariant_violations") == 0)
+    assert(m("fetched") > 0)
+    val f = eng.fetched().get
+    // per-host budget honored
+    val over = f.groupBy("host", "batch_id").count().filter($"count" > 3).count()
+    assert(over == 0)
+    // lineage columns present and sane
+    val row = f.select("batch_id", "partition_id", "fetch_ordinal", "sched_delay_ms").head()
+    assert(row.getLong(0) == 0L && row.getInt(2) >= 1)
+    // delay budget = (ordinal-1) * delay
+    val badDelay = f.filter($"sched_delay_ms" =!= ($"fetch_ordinal" - 1) * 6000L).count()
+    assert(badDelay == 0)
+  }
+
+  test("crawl ordering matches reference paging semantics (pure-paging corpus)") {
+    // Reference model (weibo.py:2743-2763): each seed's timeline is walked
+    // newest-first (post 0,1,2,…), budget-capped per batch, bounded by
+    // [since, end]. With crossLinks=false the engine must reproduce exactly
+    // that per-seed order.
+    val eng = new CrawlEngine(spark, pagesPure, tmp(),
+      CrawlConfig(defaultHostBudget = 2, maxDepth = 64, shufflePartitions = 4))
+    eng.initialize(seeds(4))
+    eng.run(5)
+    val f = eng.fetched().get
+      .withColumn("post_id", regexp_extract($"url_canon", "/p/(\\d+)$", 1).cast("long"))
+    val seqs = f.orderBy($"batch_id", $"fetch_ordinal")
+      .select($"seed_id", $"post_id")
+      .collect().groupBy(_.getString(0)).view.mapValues(_.map(_.getLong(1)).toSeq)
+    seqs.foreach { case (seed, posts) =>
+      // strictly increasing post ids == strictly decreasing warc_ts == newest-first
+      assert(posts == posts.sorted && posts.distinct == posts,
+        s"$seed fetched out of timeline order: $posts")
+      // prefix property: no gaps — page k fetched before k+1 and all ≤ max present
+      assert(posts == (posts.head to posts.last),
+        s"$seed has gaps: $posts")
+    }
+  }
+
+  test("seen-set: first occurrence wins, no url fetched twice") {
+    val dir = tmp()
+    val eng = new CrawlEngine(spark, pagesDF, dir,
+      CrawlConfig(defaultHostBudget = 4, shufflePartitions = 4))
+    eng.initialize(seeds(6))
+    eng.run(4)
+    val f = eng.fetched().get
+    assert(f.groupBy("url_hash").count().filter($"count" > 1).count() == 0)
+    // seen ⊇ fetched
+    val notSeen = f.select("url_hash").distinct()
+      .join(eng.seen().select("url_hash"), Seq("url_hash"), "left_anti").count()
+    assert(notSeen == 0)
+    // frontier ∩ seen = ∅
+    val overlap = eng.frontier().join(eng.seen(), Seq("url_hash"), "left_semi").count()
+    assert(overlap == 0)
+  }
+
+  test("bloom prefilter never drops a never-seen url (no false negatives)") {
+    // direct property on the aggregate + probe
+    val hashes = spark.range(0, 2000).select(xxhash64($"id").as("h"))
+    val blobs = hashes.groupBy(pmod($"h", lit(4L)).as("shard"))
+      .agg(BloomSeen.bloom_build($"h", 1000, 0.01).as("blob"))
+      .collect().sortBy(_.getLong(0)).map(_.getAs[Array[Byte]]("blob")).toSeq
+    val misses = hashes.withColumn("c", BloomSeen.bloom_probe(blobs, $"h"))
+      .filter(!$"c").count()
+    assert(misses == 0, "bloom claimed a present element absent")
+  }
+
+  test("resume: kill after k batches == uninterrupted run (MERGE checkpoint)") {
+    val dirA = tmp(); val dirB = tmp()
+    val cfg = CrawlConfig(defaultHostBudget = 3, shufflePartitions = 4)
+    val engA = new CrawlEngine(spark, pagesDF, dirA, cfg)
+    engA.initialize(seeds(5)); engA.run(3)
+
+    val engB1 = new CrawlEngine(spark, pagesDF, dirB, cfg)
+    engB1.initialize(seeds(5)); engB1.run(1)
+    // "kill": discard the engine; a new instance must resume from _COMMITTED
+    val engB2 = new CrawlEngine(spark, pagesDF, dirB, cfg)
+    assert(engB2.store.committedBatch == 0L)
+    engB2.run(2)
+
+    def key(e: CrawlEngine) = e.seen().select("url_hash").collect().map(_.getLong(0)).sorted.toSeq
+    assert(key(engA) == key(engB2), "seen sets diverge after resume")
+    def fkey(e: CrawlEngine) = e.fetched().get
+      .select("url_hash", "batch_id", "fetch_ordinal")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).sorted.toSeq
+    assert(fkey(engA) == fkey(engB2), "fetched lineage diverges after resume")
+    def frkey(e: CrawlEngine) = e.frontier().select("url_hash").collect().map(_.getLong(0)).sorted.toSeq
+    assert(frkey(engA) == frkey(engB2), "frontier diverges after resume")
+  }
+
+  test("determinism across partitioning levels (local[8]-vs-local[32] analog)") {
+    // Same input, different shuffle fan-out + salt: final sets must be identical
+    // (FIXTURES.md §5.3 — order compared per host only, sets globally).
+    val e1 = new CrawlEngine(spark, pagesDF, tmp(),
+      CrawlConfig(defaultHostBudget = 3, shufflePartitions = 3, saltBuckets = 2))
+    val e2 = new CrawlEngine(spark, pagesDF, tmp(),
+      CrawlConfig(defaultHostBudget = 3, shufflePartitions = 13, saltBuckets = 8))
+    e1.initialize(seeds(5)); e1.run(3)
+    e2.initialize(seeds(5)); e2.run(3)
+    def seenKey(e: CrawlEngine) = e.seen().select("url_hash").collect().map(_.getLong(0)).sorted.toSeq
+    assert(seenKey(e1) == seenKey(e2))
+    def ordKey(e: CrawlEngine) = e.fetched().get
+      .select("host", "batch_id", "fetch_ordinal", "url_hash")
+      .collect().map(r => ((r.getString(0), r.getLong(1), r.getInt(2)), r.getLong(3)))
+      .sortBy(_._1).map(_._2).toSeq
+    assert(ordKey(e1) == ordKey(e2), "per-host fetch order depends on partitioning")
+  }
+
+  test("robots gating: disallowed prefixes never fetched and leave the frontier") {
+    val megaHost = "h0.example.test"
+    val eng = new CrawlEngine(spark, pagesDF, tmp(),
+      CrawlConfig(defaultHostBudget = 4, shufflePartitions = 4,
+        robotsDisallow = Seq((megaHost, "/u/"))))
+    eng.initialize(seeds(8))
+    val ms = eng.run(3)
+    val fetchedMega = eng.fetched().get.filter($"host" === megaHost).count()
+    assert(fetchedMega == 0, "robots-disallowed host was fetched")
+    assert(ms.map(_("robots_blocked")).sum > 0)
+    // blocked urls must not linger in the frontier
+    assert(eng.frontier().filter($"host" === megaHost).count() == 0)
+  }
+
+  test("seed window: since_ts in the future fetches nothing for that seed (weibo.py:2735-2737)") {
+    val future = new java.sql.Timestamp(PagesGen.BaseTsMillis + 86400_000L)
+    val farFuture = new java.sql.Timestamp(PagesGen.BaseTsMillis + 2 * 86400_000L)
+    val s0 = seeds(2)
+    val withFuture = s0 :+ Seed("seedF", PagesGen.urlOf(3, 0, N), future, farFuture)
+    val eng = new CrawlEngine(spark, pagesDF, tmp(), CrawlConfig(shufflePartitions = 4))
+    eng.initialize(withFuture)
+    eng.run(2)
+    assert(eng.fetched().get.filter($"seed_id" === "seedF").count() == 0)
+  }
+
+  test("stop command halts the run and writes a STOPPED ledger row (service.py:1419-1432)") {
+    val eng = new CrawlEngine(spark, pagesDF, tmp(), CrawlConfig(shufflePartitions = 4))
+    eng.initialize(seeds(3))
+    eng.run(1)
+    eng.requestStop()
+    val more = eng.run(5)
+    assert(more.isEmpty)
+    val states = eng.store.readLog("ledger", Long.MaxValue).get
+      .select("state").collect().map(_.getString(0)).toSet
+    assert(states.contains("STOPPED"))
+    eng.clearStop()
+  }
+
+  test("ledger carries per-batch lineage metrics") {
+    val eng = new CrawlEngine(spark, pagesDF, tmp(), CrawlConfig(shufflePartitions = 4))
+    eng.initialize(seeds(4))
+    eng.run(2)
+    val led = eng.ledger().get.orderBy("batch_id").collect()
+    assert(led.length == 2)
+    val cols = eng.ledger().get.columns.toSet
+    assert(Set("batch_id", "state", "candidates", "scheduled", "fetched",
+      "invariant_violations", "frontier_size", "seen_size", "partitions_used").subsetOf(cols))
+    assert(led.forall(_.getAs[String]("state") == "SUCCESS"))
+    assert(led.forall(_.getAs[Long]("invariant_violations") == 0L))
+  }
+}
