@@ -1,13 +1,565 @@
 package graft
-import org.apache.spark.sql.{SparkSession, DataFrame}
-/** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt. */
+
+import graft.crawl.{CrawlConfig, CrawlEngine, PagesGen, Seed}
+import graft.functions.gf
+import graft.operators.QueryPack
+import graft.pipeline.{Dedup, Multimodal, Similarity, TextAnalysis}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.{DataFrame, SparkSession}
+
+/**
+ * Driver contract (see SURVEY.md §7 + builder prompt): one queries() entry
+ * per implemented operator family, each with equivalent DuckDB oracle SQL
+ * where SQL-expressible (column names/types aligned; money in exact integer
+ * cents so no float association-order drift between engines).
+ */
 object SparkEntry {
-  /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
-  def entry(spark: SparkSession): DataFrame =
-    spark.read.parquet("/root/testdata/sf0.001/lineitem.parquet").limit(1)
-  /** One entry per implemented operator from SURVEY.md §2. */
-  def queries: Map[String, (SparkSession, String) => DataFrame] = Map()
-  /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
-    * the same parquet tables. Omit for non-SQL-expressible ops. */
-  def oracleSql: Map[String, String] = Map()
+
+  private def t(s: SparkSession, dir: String, name: String): DataFrame =
+    s.read.parquet(s"$dir/$name.parquet")
+
+  /** exact per-row integer money: round(x·10^scale) as bigint. */
+  private def m(c: org.apache.spark.sql.Column, scale: Int = 2) =
+    round(c * math.pow(10, scale), 0).cast("long")
+
+  /** Flagship: one real crawl micro-batch over a synthetic corpus — the
+    * engine's whole pipeline (anti-join dedup, budgeted newest-first
+    * scheduling, salted fetch join, parse, lineage) in one DataFrame. */
+  def entry(spark: SparkSession): DataFrame = {
+    val n = 512L
+    val pages = PagesGen.pages(spark, n, 8).toDF
+    val dir = java.nio.file.Files.createTempDirectory("graft_entry").toString
+    val eng = new CrawlEngine(spark, pages, dir, CrawlConfig(shufflePartitions = 8))
+    eng.initialize(PagesGen.seedRows(n, 6).map(Seed.tupled))
+    eng.runBatch()
+    eng.fetched().get
+  }
+
+  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+
+    // ---- §2.4 aggregations -------------------------------------------------
+    "q01_pricing_summary" -> ((s, dir) => {
+      t(s, dir, "lineitem")
+        .groupBy(col("l_returnflag"), col("l_linestatus"))
+        .agg(
+          sum(col("l_quantity").cast("long")).as("sum_qty"),
+          sum(m(col("l_extendedprice"))).as("sum_base_cents"),
+          sum(m(col("l_extendedprice") * (lit(1) - col("l_discount")), 4)).as("sum_disc_x10000"),
+          count(lit(1)).as("cnt"))
+    }),
+
+    "q09_cust_order_span" -> ((s, dir) => {
+      t(s, dir, "orders").groupBy(col("o_custkey"))
+        .agg(min(col("o_orderdate")).as("first_order"),
+          max(col("o_orderdate")).as("last_order"),
+          count(lit(1)).as("n_orders"))
+    }),
+
+    "q13_orders_by_year" -> ((s, dir) => {
+      t(s, dir, "orders")
+        .groupBy(year(col("o_orderdate")).cast("long").as("year_num"))
+        .agg(count(lit(1)).as("cnt"), sum(m(col("o_totalprice"))).as("total_cents"))
+    }),
+
+    // ---- §2.3 joins --------------------------------------------------------
+    "q03_order_priority_revenue" -> ((s, dir) => {
+      t(s, dir, "lineitem").join(t(s, dir, "orders"),
+          col("l_orderkey") === col("o_orderkey"))
+        .groupBy(col("o_orderpriority"))
+        .agg(count(lit(1)).as("cnt"),
+          sum(m(col("l_extendedprice") * (lit(1) - col("l_discount")), 4)).as("revenue_x10000"))
+    }),
+
+    "q04_region_customer_stats" -> ((s, dir) => {
+      t(s, dir, "customer")
+        .join(broadcast(t(s, dir, "nation")), col("c_nationkey") === col("n_nationkey"))
+        .join(broadcast(t(s, dir, "region")), col("n_regionkey") === col("r_regionkey"))
+        .groupBy(col("r_name"))
+        .agg(count(lit(1)).as("n_custs"), sum(m(col("c_acctbal"))).as("acctbal_cents"))
+    }),
+
+    "q05_customers_without_orders" -> ((s, dir) => {
+      t(s, dir, "customer").join(
+          t(s, dir, "orders").filter(col("o_orderstatus") === "P"),
+          col("c_custkey") === col("o_custkey"), "left_anti")
+        .select(col("c_custkey"))
+    }),
+
+    "q06_orders_with_heavy_items" -> ((s, dir) => {
+      t(s, dir, "orders").join(
+          t(s, dir, "lineitem").filter(col("l_quantity") >= 45),
+          col("o_orderkey") === col("l_orderkey"), "left_semi")
+        .select(col("o_orderkey"))
+    }),
+
+    "q12_lineitem_selfjoin" -> ((s, dir) => {
+      val li = t(s, dir, "lineitem")
+      val l1 = li.filter(col("l_linenumber") === 1)
+        .select(col("l_orderkey").as("o_key"), col("l_partkey").as("part1"))
+      val l2 = li.filter(col("l_linenumber") === 2)
+        .select(col("l_orderkey").as("o_key"), col("l_partkey").as("part2"))
+      l1.join(l2, Seq("o_key"), "left_outer")
+    }),
+
+    // ---- §2.5 windows / top-k / pagination ---------------------------------
+    "q02_topk_orders_per_cust" -> ((s, dir) => {
+      QueryPack.topKPerGroup(t(s, dir, "orders"), Seq("o_custkey"),
+          Seq(col("o_totalprice").desc, col("o_orderkey").asc), 3)
+        .select(col("o_custkey"), col("o_orderkey"), col("rk"))
+    }),
+
+    "q07_events_prev_next" -> ((s, dir) => {
+      QueryPack.prevNext(t(s, dir, "events"), Seq("user_id"),
+          Seq(col("ts").asc, col("event_id").asc), "event_id")
+        .select(col("user_id"), col("event_id"), col("prev_id"), col("next_id"))
+    }),
+
+    "q08_orders_page3" -> ((s, dir) => {
+      QueryPack.paginate(t(s, dir, "orders"),
+          Seq(col("o_orderdate").desc, col("o_orderkey").asc), page = 3, pageSize = 10)
+        .select(col("o_orderkey"), col("o_orderdate"))
+    }),
+
+    "q11_latest_event_per_user" -> ((s, dir) => {
+      QueryPack.latestWins(t(s, dir, "events"), Seq("user_id"),
+          Seq(col("ts").desc, col("event_id").desc))
+        .select(col("user_id"), col("event_id"), col("ts"), col("value"))
+    }),
+
+    "q18_sessionize" -> ((s, dir) => {
+      QueryPack.sessionize(t(s, dir, "events"), "user_id", "ts", "event_id", 1800)
+        .select(col("user_id"), col("event_id"), col("session_id"))
+    }),
+
+    "q19_sessions_typed" -> ((s, dir) => {
+      import s.implicits._
+      // typed KeyValueGroupedDataset path (SURVEY.md §1.3 typed Dataset)
+      val ev = t(s, dir, "events")
+        .select(col("event_id"), col("ts"), col("user_id"))
+        .as[(Long, java.sql.Timestamp, Long)]
+      ev.groupByKey(_._3).flatMapGroups { (uid, it) =>
+        val sorted = it.toSeq.sortBy(e => (e._2.getTime, e._1))
+        var sessions = if (sorted.isEmpty) 0L else 1L
+        sorted.sliding(2).foreach {
+          case Seq(a, b) =>
+            if (b._2.getTime / 1000 - a._2.getTime / 1000 > 1800) sessions += 1
+          case _ =>
+        }
+        Iterator((uid, sessions, sorted.size.toLong))
+      }.toDF("user_id", "n_sessions", "n_events")
+    }),
+
+    // ---- §2.6 set ops ------------------------------------------------------
+    "q10_nations_with_presence" -> ((s, dir) => {
+      t(s, dir, "customer").select(col("c_nationkey").cast("long").as("nationkey"))
+        .union(t(s, dir, "supplier").select(col("s_nationkey").cast("long")))
+        .distinct()
+    }),
+
+    // ---- §2.7 scalar functions ---------------------------------------------
+    "q14_string_to_int_cjk" -> ((s, dir) => {
+      t(s, dir, "part")
+        .withColumn("raw", concat(col("p_size").cast("string"),
+          when(pmod(col("p_partkey"), lit(3)) === 0, "万+")
+            .when(pmod(col("p_partkey"), lit(3)) === 1, "万")
+            .otherwise("")))
+        .withColumn("converted", gf.string_to_int_cjk(col("raw")))
+        .select(col("p_partkey"), col("raw"), col("converted"))
+    }),
+
+    "q15_events_json_extract" -> ((s, dir) => {
+      t(s, dir, "events")
+        .withColumn("k_val", get_json_object(col("props"), "$.k").cast("long"))
+        .select(col("event_id"), col("k_val"))
+    }),
+
+    "q16_date_normalize" -> ((s, dir) => {
+      t(s, dir, "orders")
+        .withColumn("end_norm", date_format(col("o_orderdate"), "yyyy-MM-dd'T'23:59:59"))
+        .withColumn("end_parsed", to_timestamp(col("end_norm"), "yyyy-MM-dd'T'HH:mm:ss"))
+        .select(col("o_orderkey"), col("end_norm"), col("end_parsed"))
+    }),
+
+    "q17_pack_arrays" -> ((s, dir) => {
+      t(s, dir, "documents")
+        .withColumn("packed", concat_ws(",", slice(split(col("text"), " "), 1, 3)))
+        .select(col("doc_id"), col("packed"))
+    }),
+
+    // ---- crawl-scheduler semantics with oracle (W1/W3/F2/F7 analogs) -------
+    "q40_host_budget_schedule" -> ((s, dir) => {
+      QueryPack.topKPerGroup(t(s, dir, "events"), Seq("user_id"),
+          Seq(col("ts").desc, col("event_id").asc), 5, rankName = "fetch_ordinal")
+        .withColumn("sched_delay_ms", (col("fetch_ordinal") - 1) * 6000L)
+        .select(col("user_id"), col("event_id"), col("fetch_ordinal"), col("sched_delay_ms"))
+    }),
+
+    "q41_seen_pair_antijoin" -> ((s, dir) => {
+      // F2 seen-set semantics over events: "seen" = (user, type) pairs in the
+      // first 1% of the stream; emit later events with never-seen pairs.
+      val ev = t(s, dir, "events")
+      val total = ev.count()
+      val seen = ev.filter(col("event_id") * 100 < total)
+        .select("user_id", "event_type").distinct()
+      ev.join(seen, Seq("user_id", "event_type"), "left_anti")
+        .select(col("event_id"), col("user_id"), col("event_type"))
+    }),
+
+    "q42_after_signup_watermark" -> ((s, dir) => {
+      val ev = t(s, dir, "events")
+      val wm = ev.filter(col("event_type") === "signup")
+        .groupBy(col("user_id")).agg(max(col("ts")).as("wm_ts"))
+      ev.join(wm, Seq("user_id")).filter(col("ts") > col("wm_ts"))
+        .select(col("event_id"), col("user_id"))
+    }),
+
+    // ---- training-data pipeline: dedup -------------------------------------
+    "q20_dedup_exact" -> ((s, dir) =>
+      Dedup.exact(t(s, dir, "documents"))),
+
+    "q21_jaccard_pairs" -> ((s, dir) =>
+      Dedup.jaccardPairs(t(s, dir, "documents").filter(col("doc_id") < 300), threshold10 = 6)),
+
+    "q22_minhash_lsh_pairs" -> ((s, dir) =>
+      Dedup.minhashLshPairs(t(s, dir, "documents").filter(col("doc_id") < 300))),
+
+    "q23_simhash_docs" -> ((s, dir) =>
+      Dedup.simhash16(t(s, dir, "documents").filter(col("doc_id") < 1000))),
+
+    "q24_simhash_near_dups" -> ((s, dir) =>
+      Dedup.simhashNearDups(t(s, dir, "documents").filter(col("doc_id") < 1000), maxDist = 3)),
+
+    // ---- training-data pipeline: similarity search -------------------------
+    "q25_ann_brute_topk" -> ((s, dir) => {
+      val emb = t(s, dir, "embeddings")
+      Similarity.bruteForceTopK(emb.filter(col("vec_id") < 10), emb, k = 5)
+    }),
+
+    "q26_ann_lsh_topk" -> ((s, dir) => {
+      val emb = t(s, dir, "embeddings")
+      Similarity.lshTopK(emb.filter(col("vec_id") < 10), emb, k = 5, bits = 8, dims = 64)
+    }),
+
+    // ---- training-data pipeline: text analysis -----------------------------
+    "q30_langid" -> ((s, dir) =>
+      t(s, dir, "documents")
+        .select(col("doc_id"), TextAnalysis.langId(col("text")).as("pred_lang"))),
+
+    "q31_quality_score" -> ((s, dir) =>
+      t(s, dir, "documents")
+        .select(col("doc_id"), TextAnalysis.qualityScore(col("text")).as("quality_score"))),
+
+    "q32_token_counts" -> ((s, dir) =>
+      t(s, dir, "documents").select(col("doc_id"),
+        TextAnalysis.wsTokenCount(col("text")).as("ws_tokens"),
+        TextAnalysis.regexTokenCount(col("text")).as("re_tokens"))),
+
+    "q33_fingerprint" -> ((s, dir) =>
+      t(s, dir, "documents")
+        .select(col("doc_id"), TextAnalysis.fingerprint(col("text")).as("fp"))),
+
+    // ---- training-data pipeline: multimodal binary -------------------------
+    "q34_media_sniff" -> ((s, dir) => {
+      val media = Multimodal.synthMedia(s, t(s, dir, "part"), "p_partkey").toDF
+      media.withColumn("ext", Multimodal.sniffExt(col("bytes")))
+        .groupBy(col("ext")).agg(count(lit(1)).as("cnt"))
+    }),
+
+    "q35_media_features" -> ((s, dir) => {
+      val media = Multimodal.synthMedia(s, t(s, dir, "part"), "p_partkey")
+      Multimodal.extractFeatures(media).toDF
+        .select(col("media_id"), col("kind"), col("sniffed_ext"), col("byte_len"))
+    }),
+
+    // ---- structured streaming (windowed agg over event-time) ---------------
+    "q60_stream_hourly_counts" -> ((s, dir) => {
+      val schema = s.read.parquet(s"$dir/events.parquet").schema
+      s.catalog.dropTempView("q60_mem")
+      // parquet event-time arrives as TIMESTAMP_NTZ; watermarks need LTZ —
+      // session TZ is UTC so the cast is wall-clock-preserving both ways.
+      // (file stream source needs a directory: glob-filter inside sfDir)
+      val q = s.readStream.schema(schema)
+        .option("pathGlobFilter", "events.parquet").parquet(dir)
+        .withColumn("ts_ltz", col("ts").cast("timestamp"))
+        .withWatermark("ts_ltz", "1 hour")
+        .groupBy(window(col("ts_ltz"), "1 hour").as("w"), col("event_type"))
+        .agg(count(lit(1)).as("cnt"))
+        .select(col("w.start").cast("timestamp_ntz").as("window_start"),
+          col("event_type"), col("cnt"))
+        .writeStream.format("memory").queryName("q60_mem")
+        .outputMode("complete").start()
+      q.processAllAvailable(); q.stop()
+      s.table("q60_mem")
+    }),
+
+    // ---- crawl engine end-to-end (no SQL oracle: engine-internal state) ----
+    "q50_crawl_batch" -> ((s, dir) => {
+      val n = 512L
+      val pages = PagesGen.pages(s, n, 8).toDF
+      val st = java.nio.file.Files.createTempDirectory("graft_q50").toString
+      val eng = new CrawlEngine(s, pages, st, CrawlConfig(shufflePartitions = 8))
+      eng.initialize(PagesGen.seedRows(n, 6).map(Seed.tupled))
+      eng.runBatch()
+      eng.fetched().get.select("url_canon", "url_hash", "host", "batch_id",
+        "partition_id", "fetch_ordinal", "n_outlinks")
+    }),
+
+    "q51_crawl_frontier" -> ((s, dir) => {
+      val n = 512L
+      val pages = PagesGen.pages(s, n, 8).toDF
+      val st = java.nio.file.Files.createTempDirectory("graft_q51").toString
+      val eng = new CrawlEngine(s, pages, st, CrawlConfig(shufflePartitions = 8))
+      eng.initialize(PagesGen.seedRows(n, 6).map(Seed.tupled))
+      eng.run(2)
+      eng.frontier().select("url_canon", "url_hash", "host", "depth", "seed_id")
+    })
+  )
+
+  def oracleSql: Map[String, String] = Map(
+    "q01_pricing_summary" ->
+      """SELECT l_returnflag, l_linestatus,
+        | CAST(SUM(CAST(l_quantity AS BIGINT)) AS BIGINT) AS sum_qty,
+        | CAST(SUM(CAST(ROUND(l_extendedprice*100,0) AS BIGINT)) AS BIGINT) AS sum_base_cents,
+        | CAST(SUM(CAST(ROUND(l_extendedprice*(1-l_discount)*10000,0) AS BIGINT)) AS BIGINT) AS sum_disc_x10000,
+        | COUNT(*) AS cnt
+        |FROM lineitem GROUP BY l_returnflag, l_linestatus""".stripMargin,
+
+    "q09_cust_order_span" ->
+      """SELECT o_custkey, MIN(o_orderdate) AS first_order, MAX(o_orderdate) AS last_order,
+        | COUNT(*) AS n_orders FROM orders GROUP BY o_custkey""".stripMargin,
+
+    "q13_orders_by_year" ->
+      """SELECT CAST(year(o_orderdate) AS BIGINT) AS year_num, COUNT(*) AS cnt,
+        | CAST(SUM(CAST(ROUND(o_totalprice*100,0) AS BIGINT)) AS BIGINT) AS total_cents
+        |FROM orders GROUP BY 1""".stripMargin,
+
+    "q03_order_priority_revenue" ->
+      """SELECT o_orderpriority, COUNT(*) AS cnt,
+        | CAST(SUM(CAST(ROUND(l_extendedprice*(1-l_discount)*10000,0) AS BIGINT)) AS BIGINT) AS revenue_x10000
+        |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+        |GROUP BY o_orderpriority""".stripMargin,
+
+    "q04_region_customer_stats" ->
+      """SELECT r_name, COUNT(*) AS n_custs,
+        | CAST(SUM(CAST(ROUND(c_acctbal*100,0) AS BIGINT)) AS BIGINT) AS acctbal_cents
+        |FROM customer JOIN nation ON c_nationkey = n_nationkey
+        |JOIN region ON n_regionkey = r_regionkey GROUP BY r_name""".stripMargin,
+
+    "q05_customers_without_orders" ->
+      """SELECT c_custkey FROM customer
+        |WHERE NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey AND o_orderstatus = 'P')""".stripMargin,
+
+    "q06_orders_with_heavy_items" ->
+      """SELECT o_orderkey FROM orders
+        |WHERE EXISTS (SELECT 1 FROM lineitem WHERE l_orderkey = o_orderkey AND l_quantity >= 45)""".stripMargin,
+
+    "q12_lineitem_selfjoin" ->
+      """SELECT l1.l_orderkey AS o_key, l1.l_partkey AS part1, l2.l_partkey AS part2
+        |FROM lineitem l1 LEFT JOIN lineitem l2
+        | ON l1.l_orderkey = l2.l_orderkey AND l2.l_linenumber = 2
+        |WHERE l1.l_linenumber = 1""".stripMargin,
+
+    "q02_topk_orders_per_cust" ->
+      """SELECT o_custkey, o_orderkey, rk FROM (
+        | SELECT o_custkey, o_orderkey,
+        |  ROW_NUMBER() OVER (PARTITION BY o_custkey ORDER BY o_totalprice DESC, o_orderkey) AS rk
+        | FROM orders) WHERE rk <= 3""".stripMargin,
+
+    "q07_events_prev_next" ->
+      """SELECT user_id, event_id,
+        | LAG(event_id) OVER w AS prev_id, LEAD(event_id) OVER w AS next_id
+        |FROM events WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)""".stripMargin,
+
+    "q08_orders_page3" ->
+      """SELECT o_orderkey, o_orderdate FROM orders
+        |ORDER BY o_orderdate DESC, o_orderkey LIMIT 10 OFFSET 20""".stripMargin,
+
+    "q11_latest_event_per_user" ->
+      """SELECT user_id, event_id, ts, value FROM (
+        | SELECT *, ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY ts DESC, event_id DESC) AS rn
+        | FROM events) WHERE rn = 1""".stripMargin,
+
+    "q18_sessionize" ->
+      """SELECT user_id, event_id,
+        | CAST(SUM(new_sess) OVER (PARTITION BY user_id ORDER BY ts, event_id ROWS UNBOUNDED PRECEDING) AS BIGINT) AS session_id
+        |FROM (
+        | SELECT user_id, event_id, ts,
+        |  CASE WHEN LAG(ts) OVER w IS NULL THEN 0
+        |       WHEN date_diff('second', LAG(ts) OVER w, ts) > 1800 THEN 1 ELSE 0 END AS new_sess
+        | FROM events WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)) t""".stripMargin,
+
+    "q19_sessions_typed" ->
+      """SELECT user_id, CAST(SUM(new_sess) + 1 AS BIGINT) AS n_sessions, COUNT(*) AS n_events
+        |FROM (
+        | SELECT user_id,
+        |  CASE WHEN LAG(ts) OVER w IS NULL THEN 0
+        |       WHEN date_diff('second', LAG(ts) OVER w, ts) > 1800 THEN 1 ELSE 0 END AS new_sess
+        | FROM events WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)) t
+        |GROUP BY user_id""".stripMargin,
+
+    "q10_nations_with_presence" ->
+      """SELECT CAST(c_nationkey AS BIGINT) AS nationkey FROM customer
+        |UNION
+        |SELECT CAST(s_nationkey AS BIGINT) FROM supplier""".stripMargin,
+
+    "q14_string_to_int_cjk" ->
+      """SELECT p_partkey,
+        | p_size::VARCHAR || CASE WHEN p_partkey % 3 = 0 THEN '万+'
+        |                         WHEN p_partkey % 3 = 1 THEN '万' ELSE '' END AS raw,
+        | CASE WHEN p_partkey % 3 = 2 THEN CAST(p_size AS BIGINT)
+        |      ELSE CAST(p_size AS BIGINT) * 10000 END AS converted
+        |FROM part""".stripMargin,
+
+    "q15_events_json_extract" ->
+      """SELECT event_id, CAST(regexp_extract(props, '"k": (\d+)', 1) AS BIGINT) AS k_val
+        |FROM events""".stripMargin,
+
+    "q16_date_normalize" ->
+      """SELECT o_orderkey, strftime(o_orderdate, '%Y-%m-%dT23:59:59') AS end_norm,
+        | strptime(strftime(o_orderdate, '%Y-%m-%dT23:59:59'), '%Y-%m-%dT%H:%M:%S') AS end_parsed
+        |FROM orders""".stripMargin,
+
+    "q17_pack_arrays" ->
+      """SELECT doc_id, array_to_string(string_split(text, ' ')[1:3], ',') AS packed
+        |FROM documents""".stripMargin,
+
+    "q40_host_budget_schedule" ->
+      """SELECT user_id, event_id, fetch_ordinal, (fetch_ordinal - 1) * 6000 AS sched_delay_ms
+        |FROM (
+        | SELECT user_id, event_id,
+        |  ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY ts DESC, event_id) AS fetch_ordinal
+        | FROM events) WHERE fetch_ordinal <= 5""".stripMargin,
+
+    "q41_seen_pair_antijoin" ->
+      """SELECT e.event_id, e.user_id, e.event_type FROM events e
+        |WHERE NOT EXISTS (
+        |  SELECT 1 FROM events s
+        |  WHERE s.event_id * 100 < (SELECT COUNT(*) FROM events)
+        |    AND s.user_id = e.user_id AND s.event_type = e.event_type)""".stripMargin,
+
+    "q42_after_signup_watermark" ->
+      """SELECT e.event_id, e.user_id FROM events e
+        |JOIN (SELECT user_id, MAX(ts) AS wm_ts FROM events WHERE event_type = 'signup' GROUP BY user_id) w
+        | ON e.user_id = w.user_id
+        |WHERE e.ts > w.wm_ts""".stripMargin,
+
+    "q20_dedup_exact" ->
+      """SELECT MIN(doc_id) AS keeper_id, COUNT(*) AS dup_count, text
+        |FROM documents GROUP BY text""".stripMargin,
+
+    "q21_jaccard_pairs" ->
+      """WITH tok AS (
+        |  SELECT DISTINCT doc_id, w FROM (SELECT doc_id, text FROM documents WHERE doc_id < 300) d,
+        |   UNNEST(string_split(d.text, ' ')) AS u(w) WHERE w <> ''),
+        | sz AS (SELECT doc_id, COUNT(*) AS c FROM tok GROUP BY doc_id),
+        | pr AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS inter
+        |        FROM tok a JOIN tok b ON a.w = b.w AND a.doc_id < b.doc_id
+        |        GROUP BY 1, 2)
+        |SELECT doc_a, doc_b, CAST(inter AS BIGINT) AS inter,
+        | CAST(sa.c + sb.c - inter AS BIGINT) AS union_size
+        |FROM pr JOIN sz sa ON sa.doc_id = doc_a JOIN sz sb ON sb.doc_id = doc_b
+        |WHERE 10 * inter >= 6 * (sa.c + sb.c - inter)""".stripMargin,
+
+    "q22_minhash_lsh_pairs" ->
+      """WITH words AS (
+        |  SELECT doc_id, list_filter(string_split(text, ' '), x -> x <> '') AS ws
+        |  FROM documents WHERE doc_id < 300),
+        | sh AS (
+        |  SELECT DISTINCT doc_id, ws[i] || ' ' || ws[i+1] AS sh
+        |  FROM words, UNNEST(range(1, len(ws))) AS u(i) WHERE len(ws) >= 2),
+        | mh AS (
+        |  SELECT doc_id, i, MIN(md5(i::VARCHAR || ':' || sh)) AS mh
+        |  FROM sh, UNNEST(range(0, 12)) AS h(i) GROUP BY doc_id, i),
+        | bands AS (
+        |  SELECT doc_id, (i // 3) AS band,
+        |   string_agg(lpad(i::VARCHAR, 2, '0') || '=' || mh, '|' ORDER BY lpad(i::VARCHAR, 2, '0')) AS band_sig
+        |  FROM mh GROUP BY doc_id, (i // 3))
+        |SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS shared_bands
+        |FROM bands a JOIN bands b
+        | ON a.band = b.band AND a.band_sig = b.band_sig AND a.doc_id < b.doc_id
+        |GROUP BY 1, 2""".stripMargin,
+
+    "q23_simhash_docs" ->
+      """WITH w AS (
+        |  SELECT doc_id, substring(md5(u.w), 1, 4) AS h4
+        |  FROM (SELECT doc_id, text FROM documents WHERE doc_id < 1000) d,
+        |   UNNEST(string_split(d.text, ' ')) AS u(w) WHERE u.w <> ''),
+        | bits AS (
+        |  SELECT doc_id, j,
+        |   CASE WHEN (((strpos('0123456789abcdef', substring(h4, (j // 4) + 1, 1)) - 1) >> (j % 4)) & 1) = 1
+        |        THEN 1 ELSE -1 END AS contrib
+        |  FROM w, UNNEST(range(0, 16)) AS r(j)),
+        | s AS (SELECT doc_id, j, SUM(contrib) AS s FROM bits GROUP BY doc_id, j)
+        |SELECT doc_id,
+        | CAST(SUM(CASE WHEN s > 0 THEN (1::BIGINT << j) ELSE 0 END) AS BIGINT) AS simhash
+        |FROM s GROUP BY doc_id""".stripMargin,
+
+    "q30_langid" ->
+      """SELECT doc_id,
+        | CASE WHEN length(text) = 0 THEN 'unknown'
+        |      WHEN length(regexp_replace(text, '[^\x{4e00}-\x{9fff}]', '', 'g')) * 10 >= length(text) THEN 'zh'
+        |      WHEN length(regexp_replace(text, '[^\x{0400}-\x{04ff}]', '', 'g')) * 10 >= length(text) THEN 'ru'
+        |      WHEN length(regexp_replace(lower(text), '[^aeiou]', '', 'g')) * 4 >= length(text) THEN 'en'
+        |      ELSE 'other' END AS pred_lang
+        |FROM documents""".stripMargin,
+
+    "q31_quality_score" ->
+      """SELECT doc_id, CAST(
+        |  (CASE WHEN length(text) BETWEEN 20 AND 10000 THEN 2 ELSE 0 END)
+        | + (CASE WHEN len(list_filter(string_split(text, ' '),
+        |      x -> x IN ('the','a','an','of','to','and','in','is','it','for'))) >= 2 THEN 2 ELSE 0 END)
+        | + (CASE WHEN length(regexp_replace(text, '[A-Za-z0-9\s\x{4e00}-\x{9fff}]', '', 'g')) * 10 < length(text) THEN 1 ELSE 0 END)
+        | + (CASE WHEN len(list_filter(string_split(text, ' '), x -> x <> '')) > 0
+        |          AND list_sum(list_transform(list_filter(string_split(text, ' '), x -> x <> ''), w -> length(w)))
+        |              BETWEEN 2 * len(list_filter(string_split(text, ' '), x -> x <> ''))
+        |              AND 12 * len(list_filter(string_split(text, ' '), x -> x <> '')) THEN 1 ELSE 0 END)
+        | AS BIGINT) AS quality_score
+        |FROM documents""".stripMargin,
+
+    "q32_token_counts" ->
+      """SELECT doc_id,
+        | CAST(len(string_split_regex(trim(text), '\s+')) AS BIGINT) AS ws_tokens,
+        | CAST(len(regexp_extract_all(text, '([A-Za-z]+|[0-9]+|[^A-Za-z0-9\s])')) AS BIGINT) AS re_tokens
+        |FROM documents""".stripMargin,
+
+    "q33_fingerprint" ->
+      """SELECT doc_id,
+        | md5(trim(regexp_replace(regexp_replace(lower(text), '[^a-z0-9\s\x{4e00}-\x{9fff}]', '', 'g'), '\s+', ' ', 'g'))) AS fp
+        |FROM documents""".stripMargin,
+
+    "q34_media_sniff" ->
+      """SELECT CASE WHEN p_partkey % 4 = 0 THEN 'jpg'
+        |            WHEN p_partkey % 4 = 1 THEN 'png'
+        |            WHEN p_partkey % 4 = 2 THEN 'gif' ELSE 'bin' END AS ext,
+        | COUNT(*) AS cnt
+        |FROM part GROUP BY 1""".stripMargin,
+
+    "q35_media_features" ->
+      """SELECT CAST(p_partkey AS BIGINT) AS media_id,
+        | CASE WHEN p_partkey % 4 = 2 THEN 'video' WHEN p_partkey % 4 = 3 THEN 'audio' ELSE 'image' END AS kind,
+        | CASE WHEN p_partkey % 4 = 0 THEN 'jpg' WHEN p_partkey % 4 = 1 THEN 'png'
+        |      WHEN p_partkey % 4 = 2 THEN 'gif' ELSE 'bin' END AS sniffed_ext,
+        | CAST(CASE WHEN p_partkey % 4 = 0 THEN 21 WHEN p_partkey % 4 = 1 THEN 24
+        |           WHEN p_partkey % 4 = 2 THEN 20 ELSE 16 END AS BIGINT) AS byte_len
+        |FROM part""".stripMargin,
+
+    "q25_ann_brute_topk" ->
+      """SELECT query_id, neighbor_id, rk, cos_r FROM (
+        | SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+        |  ROW_NUMBER() OVER (PARTITION BY q.vec_id
+        |    ORDER BY ROUND(list_cosine_similarity(q.embedding::DOUBLE[], c.embedding::DOUBLE[]), 6) DESC,
+        |             c.vec_id) AS rk,
+        |  ROUND(list_cosine_similarity(q.embedding::DOUBLE[], c.embedding::DOUBLE[]), 6) AS cos_r
+        | FROM embeddings q, embeddings c
+        | WHERE q.vec_id < 10 AND c.vec_id <> q.vec_id) t
+        |WHERE rk <= 5""".stripMargin,
+
+    "q60_stream_hourly_counts" ->
+      """SELECT date_trunc('hour', ts) AS window_start, event_type, COUNT(*) AS cnt
+        |FROM events GROUP BY 1, 2""".stripMargin
+    // q24_simhash_near_dups, q26_ann_lsh_topk, q50/q51 crawl internals:
+    // intentionally no oracle (engine-internal / non-SQL-portable hyperplanes)
+    // → rows-only check; correctness asserted by ScalaTest suites instead.
+  )
 }

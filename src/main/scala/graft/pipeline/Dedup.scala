@@ -1,0 +1,151 @@
+package graft.pipeline
+
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.{Column, DataFrame}
+
+/**
+ * Document deduplication for training-data pipelines, at 100 TB design
+ * points:
+ *
+ *  - exact: one hash-shuffle on the full text (groupBy text) — at scale,
+ *    group on xxhash64(text) first so the shuffle carries 8-byte keys, and
+ *    resolve the (astronomically rare) hash collision by exact compare
+ *    within group;
+ *  - token-Jaccard / MinHash-LSH: shingle → signature → band-bucket join.
+ *    The LSH band join is THE scale path: candidate pairs come from equality
+ *    joins on (band, signature) — a shuffle keyed by tiny band signatures —
+ *    never from an O(n²) cross join;
+ *  - SimHash: per-doc 16-bit signature (demo width; production uses 64) via
+ *    bitwise majority over token hashes — one groupBy, no joins; near-dup
+ *    pairs by hamming distance over bucketed prefixes;
+ *  - embedding cosine: see Similarity (LSH hyperplane buckets).
+ *
+ * Everything is expressed with codegen'd built-ins (split/explode/md5/agg) —
+ * no UDFs — so whole-stage codegen covers the hot paths. md5 is used as the
+ * portable uniform hash because every engine agrees on its bytes (the
+ * correctness oracle re-computes signatures independently in DuckDB).
+ */
+object Dedup {
+
+  /** split into non-empty whitespace tokens. */
+  def tokens(text: Column): Column = filter(split(text, " "), w => w =!= "")
+
+  /** Exact dedup: keeper = min(doc_id) per identical text (first-wins, the
+    * reference's PK-replace semantics weibo.py:2536-2540). */
+  def exact(docs: DataFrame, idCol: String = "doc_id", textCol: String = "text"): DataFrame =
+    docs.groupBy(col(textCol))
+      .agg(min(col(idCol)).as("keeper_id"), count(lit(1)).as("dup_count"))
+      .select(col("keeper_id"), col("dup_count"), col(textCol))
+
+  /** distinct (doc, token) pairs. */
+  private def tokenized(docs: DataFrame, idCol: String, textCol: String): DataFrame =
+    docs.select(col(idCol).as("doc_id"), explode(tokens(col(textCol))).as("w")).distinct()
+
+  /** Token-level Jaccard candidate pairs with jaccard >= threshold, computed
+    * in EXACT integer arithmetic: 10·|∩| >= t10·|∪| (no float drift vs the
+    * oracle). Inverted-index self-join — pairs only materialize for docs
+    * sharing at least one token. */
+  def jaccardPairs(docs: DataFrame, threshold10: Int,
+      idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
+    val tok = tokenized(docs, idCol, textCol)
+    val sizes = tok.groupBy(col("doc_id")).agg(count(lit(1)).as("sz"))
+    val inter = tok.as("a").join(tok.as("b"),
+        col("a.w") === col("b.w") && col("a.doc_id") < col("b.doc_id"))
+      .groupBy(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
+      .agg(count(lit(1)).as("inter"))
+    inter
+      .join(sizes.withColumnRenamed("doc_id", "doc_a").withColumnRenamed("sz", "sa"), "doc_a")
+      .join(sizes.withColumnRenamed("doc_id", "doc_b").withColumnRenamed("sz", "sb"), "doc_b")
+      .withColumn("union_size", col("sa") + col("sb") - col("inter"))
+      .filter(lit(10) * col("inter") >= lit(threshold10) * col("union_size"))
+      .select(col("doc_a"), col("doc_b"), col("inter"), col("union_size"))
+  }
+
+
+  /** word-bigram shingles (n-gram jaccard / minhash unit). */
+  def bigramShingles(text: Column): Column = {
+    val ws = tokens(text)
+    zip_with(slice(ws, lit(1), greatest(size(ws) - 1, lit(0))),
+      slice(ws, lit(2), greatest(size(ws) - 1, lit(0))),
+      (a, b) => concat_ws(" ", a, b))
+  }
+
+  /**
+   * MinHash signatures: numHashes portable min-hashes h_i(doc) =
+   * min over shingles of md5('i:' || shingle) — lexicographic min of a
+   * uniform hex hash is a valid permutation-min proxy, and both engines
+   * agree on md5 bytes. Banded for LSH: rowsPerBand hashes concatenated
+   * (zero-padded index keeps lexicographic == numeric order).
+   */
+  def minhashBands(docs: DataFrame, numHashes: Int, rowsPerBand: Int,
+      idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
+    val sh = docs
+      .select(col(idCol).as("doc_id"), explode(bigramShingles(col(textCol))).as("sh"))
+      .distinct()
+    val minhashes = sh
+      .select(col("doc_id"), explode(sequence(lit(0), lit(numHashes - 1))).as("i"), col("sh"))
+      .groupBy(col("doc_id"), col("i"))
+      .agg(min(md5(concat(col("i").cast("string"), lit(":"), col("sh")))).as("mh"))
+    minhashes
+      .withColumn("band", (col("i") / rowsPerBand).cast("long"))
+      .groupBy(col("doc_id"), col("band"))
+      .agg(concat_ws("|",
+        sort_array(collect_list(concat(lpad(col("i").cast("string"), 2, "0"), lit("="), col("mh")))))
+        .as("band_sig"))
+  }
+
+  /** LSH candidate pairs: docs sharing >= 1 band signature. The join key is
+    * (band, band_sig) — equality, shuffle-friendly, skew handled by AQE. */
+  def minhashLshPairs(docs: DataFrame, numHashes: Int = 12, rowsPerBand: Int = 3,
+      idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
+    val bands = minhashBands(docs, numHashes, rowsPerBand, idCol, textCol)
+    bands.as("a").join(bands.as("b"),
+        col("a.band") === col("b.band") && col("a.band_sig") === col("b.band_sig") &&
+          col("a.doc_id") < col("b.doc_id"))
+      .groupBy(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
+      .agg(count(lit(1)).as("shared_bands"))
+  }
+
+  /**
+   * 16-bit SimHash (production: 64-bit; 16 keeps the oracle SQL tractable):
+   * token bit j comes from nibble j/4 of md5(w) (bit j%4); signature bit =
+   * sign of the ±1 majority over all token occurrences; ties → 0.
+   */
+  def simhash16(docs: DataFrame, idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
+    docs.select(col(idCol).as("doc_id"), explode(tokens(col(textCol))).as("w"))
+      .withColumn("h4", substring(md5(col("w")), 1, 4))
+      .select(col("doc_id"), col("h4"), explode(sequence(lit(0), lit(15))).as("j"))
+      .withColumn("nib",
+        expr("instr('0123456789abcdef', substring(h4, cast(j/4 as int) + 1, 1)) - 1"))
+      .withColumn("bit", expr("shiftright(nib, cast(j % 4 as int)) & 1"))
+      .withColumn("contrib", when(col("bit") === 1, 1L).otherwise(-1L))
+      .groupBy(col("doc_id"), col("j"))
+      .agg(sum(col("contrib")).as("s"))
+      .withColumn("bitval", when(col("s") > 0, expr("shiftleft(1L, cast(j as int))")).otherwise(0L))
+      .groupBy(col("doc_id"))
+      .agg(sum(col("bitval")).as("simhash"))
+  }
+
+  /** Near-dup pairs by simhash hamming distance <= maxDist. Demo: full
+    * self-join (fine at test scale). Scale path: bucket on signature bytes
+    * (pigeonhole: dist<=3 over 4 chunks ⇒ one chunk equal) so candidates come
+    * from equality joins on chunks, then verify hamming exactly. */
+  def simhashNearDups(docs: DataFrame, maxDist: Int,
+      idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
+    val sh = simhash16(docs, idCol, textCol)
+    // pigeonhole bucketing: 4 chunks of 4 bits; dist<=3 ⇒ >=1 equal chunk
+    val chunked = sh.select(col("doc_id"), col("simhash"),
+      explode(sequence(lit(0), lit(3))).as("c"))
+      .withColumn("chunk", expr("shiftright(simhash, cast(c * 4 as int)) & 15"))
+    chunked.as("a").join(chunked.as("b"),
+        col("a.c") === col("b.c") && col("a.chunk") === col("b.chunk") &&
+          col("a.doc_id") < col("b.doc_id"))
+      .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"),
+        col("a.simhash").as("sh_a"), col("b.simhash").as("sh_b"))
+      .distinct()
+      .withColumn("hamming", expr("bit_count(sh_a ^ sh_b)").cast("long"))
+      .filter(col("hamming") <= maxDist)
+      .select(col("doc_a"), col("doc_b"), col("hamming"))
+  }
+}
