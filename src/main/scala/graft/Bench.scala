@@ -1,24 +1,122 @@
 package graft
-import org.apache.spark.sql.SparkSession
+
+import graft.crawl.{CrawlConfig, CrawlEngine, PagesGen}
+import graft.functions.gf
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.{DataFrame, SparkSession}
+
+/**
+ * Benchmark entry (driver contract): one JSON line with per-query seconds on
+ * SPARK_GRAFT_SF_DIR, plus the north-rule evidence — crawl throughput at two
+ * parallelism levels (local[8] vs local[32] standing in for N vs 4N
+ * executors) and the scaling efficiency between them (BASELINE.md).
+ */
 object Bench {
+
+  private def session(cpus: Int): SparkSession = {
+    val s = SparkSession.builder()
+      .master(s"local[$cpus]")
+      .appName(s"graft-bench-$cpus")
+      .config("spark.sql.shuffle.partitions", cpus.toString)
+      .config("spark.sql.adaptive.enabled", "true")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .config("spark.driver.memory", "48g")
+      .getOrCreate()
+    s.sparkContext.setLogLevel("WARN")
+    s
+  }
+
+  /** Deterministic shared corpus: generated once to parquet (realistic page
+    * bodies — parse cost must dominate like in production), read by every
+    * parallelism level. */
+  def corpus(spark: SparkSession, nPages: Long, bodyRepeat: Int): DataFrame =
+    PagesGen.materialize(spark, nPages,
+      s"/tmp/graft_bench_corpus_${nPages}_$bodyRepeat", 64, bodyRepeat)
+
+  /** Crawl throughput: preloaded frontier (the 10^10-frontier model is
+    * "frontier already full"), politeness budgets high-but-bounded, sharded
+    * ranking for the mega-host. Returns (urlsFetched, seconds). */
+  def crawlBench(spark: SparkSession, nPages: Long, cpus: Int, batches: Int,
+      bodyRepeat: Int): (Long, Double) = {
+    import spark.implicits._
+    val pages = corpus(spark, nPages, bodyRepeat)
+    val wideSince = new java.sql.Timestamp(0L)
+    val wideEnd = new java.sql.Timestamp(PagesGen.BaseTsMillis + 86400000L)
+    val preload = pages
+      .filter(pmod(xxhash64($"url"), lit(2L)) === 0)
+      .select($"url",
+        gf.canonicalize_url($"url").as("url_canon"),
+        xxhash64(gf.canonicalize_url($"url")).as("url_hash"),
+        gf.url_host($"url").as("host"),
+        lit(0).as("depth"),
+        $"warc_ts".as("priority_ts"),
+        lit("bench").as("seed_id"),
+        lit(wideSince).as("since_ts"),
+        lit(wideEnd).as("end_ts"),
+        lit(-1L).as("discovered_batch"))
+    val stateDir = java.nio.file.Files.createTempDirectory(s"graft_bench_$cpus").toString
+    val eng = new CrawlEngine(spark, pages, stateDir, CrawlConfig(
+      defaultHostBudget = 2000000, defaultDelayMs = 0L,
+      maxDepth = 8, saltBuckets = 64, shufflePartitions = cpus * 2,
+      bloomMinSeen = 100000, cachePages = false, broadcastScheduled = true,
+      detailedMetrics = false, shardedRanking = true))
+    eng.initializeWithFrontier(preload)
+    val t0 = System.nanoTime()
+    val ms = eng.run(batches)
+    val dt = (System.nanoTime() - t0) / 1e9
+    (ms.map(_("fetched")).sum, dt)
+  }
+
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
-    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
-    val spark = SparkSession.builder()
-      .master(s"local[$cpus]")
-      .config("spark.sql.shuffle.partitions", cpus)
-      .config("spark.ui.enabled", "false")
-      .getOrCreate()
-    spark.sparkContext.setLogLevel("WARN")
-    val results = SparkEntry.queries.map { case (name, fn) =>
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32").toInt
+    val benchPages = sys.env.getOrElse("SPARK_GRAFT_BENCH_PAGES", "1500000").toLong
+    val bodyRepeat = sys.env.getOrElse("SPARK_GRAFT_BODY_REPEAT", "50").toInt
+    val skipScaling = sys.env.contains("SPARK_GRAFT_SKIP_SCALING")
+
+    // ---- phase 1: query pack on sfDir
+    var spark = session(cpus)
+    val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
       val t0 = System.nanoTime()
       try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
       name -> (System.nanoTime() - t0) / 1e9
     }
-    val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
-      .mkString("{", ",", "}")
-    val total = if (results.nonEmpty) results.values.sum else 0.0
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+    val queriesTotal = results.map(_._2).sum
+
+    // ---- phase 2: generate shared corpus (once), crawl at the session's
+    // parallelism — this IS the 4N (32-core) scaling data point
+    corpus(spark, benchPages, bodyRepeat).count()
+    val (fetchedC, dtC) = crawlBench(spark, benchPages, cpus, batches = 2, bodyRepeat)
     spark.stop()
+
+    // ---- phase 3: scaling evidence — same job, same corpus at local[8]
+    var scalingJson = ""
+    if (!skipScaling) {
+      // best-of-2 per level: the sandbox VM shows ~2-3x run-to-run noise
+      // (shared host); min-of-k is the standard robust estimator for that
+      val runs = Seq(8, 32).map { c =>
+        val best = (1 to 2).map { _ =>
+          org.apache.spark.sql.SparkSession.clearActiveSession()
+          org.apache.spark.sql.SparkSession.clearDefaultSession()
+          val s = session(c)
+          val (f, dt) = crawlBench(s, benchPages, c, batches = 2, bodyRepeat)
+          s.stop()
+          (f, dt)
+        }.minBy(_._2)
+        (c, best._1, best._2, best._1 / best._2)
+      }
+      val Seq((_, f8, t8, tp8), (_, f32, t32, tp32)) = runs
+      val eff = (tp32 / tp8) / 4.0
+      scalingJson = s""","scaling":{"pages":$benchPages,"fetched_8":$f8,"sec_8":$t8,""" +
+        s""""urls_per_sec_8":$tp8,"fetched_32":$f32,"sec_32":$t32,"urls_per_sec_32":$tp32,""" +
+        s""""efficiency_8_to_32":$eff}"""
+    }
+
+    val qs = results.map { case (k, v) => "\"" + k + "\":" + v }.mkString("{", ",", "}")
+    val total = queriesTotal + dtC
+    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"""" +
+      s""","crawl":{"pages":$benchPages,"fetched":$fetchedC,"sec":$dtC,"urls_per_sec":${fetchedC / dtC}}""" +
+      scalingJson + "}")
   }
 }

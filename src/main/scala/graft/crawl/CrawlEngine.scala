@@ -41,7 +41,12 @@ case class CrawlConfig(
     bloomFpp: Double = 0.01,
     robotsDisallow: Seq[(String, String)] = Nil,
     realTimePacing: Boolean = false,
-    shufflePartitions: Int = 32)
+    shufflePartitions: Int = 32,
+    bloomMinSeen: Long = 4096,
+    cachePages: Boolean = false,
+    detailedMetrics: Boolean = true,
+    shardedRanking: Boolean = false,
+    broadcastScheduled: Boolean = false)
 
 /**
  * The URL-frontier + fetch-scheduler engine (BASELINE.json.north_rule).
@@ -73,10 +78,37 @@ class CrawlEngine(
   val store = new StateStore(spark, stateDir)
 
   /** pages keyed by canonical url — at cluster scale this is the Iceberg
-    * table bucketed by url_hash so the fetch join is shuffle-free. */
-  private lazy val pagesByCanon: DataFrame = pages
-    .withColumn("url_canon", gf.canonicalize_url($"url"))
-    .withColumnRenamed("url", "page_url")
+    * table BUCKETED by the join key so the per-batch fetch join never
+    * shuffles the big side. cachePages simulates that locally: repartition
+    * once by url_canon and persist — the cached relation keeps its
+    * HashPartitioning, so every batch's join only shuffles the (much
+    * smaller) scheduled side. */
+  private lazy val pagesByCanon: DataFrame = {
+    val df = pages
+      .withColumn("url_canon", gf.canonicalize_url($"url"))
+      .withColumnRenamed("url", "page_url")
+    if (cfg.cachePages)
+      df.repartition(cfg.shufflePartitions, $"url_canon")
+        .sortWithinPartitions($"url_canon")
+        .persist()
+    else df
+  }
+
+  /** running |seen| — avoids a count job per batch; exact because every
+    * scheduled/blocked url is frontier-unique and anti-joined against seen. */
+  private var seenSizeCache: Long = -1L
+  private def seenSize(committed: Long): Long = {
+    if (seenSizeCache < 0) {
+      seenSizeCache = ledger(committed) match {
+        case Some(l) if committed >= 0 =>
+          val rows = l.filter($"state" === "SUCCESS").orderBy($"batch_id".desc)
+            .select("seen_size").limit(1).collect()
+          if (rows.nonEmpty) rows(0).getLong(0) else seen(committed).count()
+        case _ => if (committed >= 0) seen(committed).count() else 0L
+      }
+    }
+    seenSizeCache
+  }
 
   private def emptyFrontier: DataFrame = Seq.empty[(String, String, Long, String, Int,
       java.sql.Timestamp, String, java.sql.Timestamp, java.sql.Timestamp, Long)]
@@ -99,9 +131,14 @@ class CrawlEngine(
       .withColumn("discovered_batch", lit(-1L))
       .select(emptyFrontier.columns.map(col): _*)
 
-  def initialize(seeds: Seq[Seed]): Unit = {
+  def initialize(seeds: Seq[Seed]): Unit =
+    initializeWithFrontier(frontierFromSeeds(seeds))
+
+  /** Preload an arbitrary frontier (bench path: the 10^10-URL-frontier model
+    * is "frontier already full", not "grown from 8 seeds"). */
+  def initializeWithFrontier(frontier: DataFrame): Unit = {
     require(store.committedBatch < 0, s"state at $stateDir already initialized")
-    store.write("frontier", -1L, frontierFromSeeds(seeds))
+    store.write("frontier", -1L, frontier)
     store.write("seen", -1L, emptySeen)
     // version -1 is readable but the pointer still says -1 ⇒ batch 0 is next
     store.commit(-1L)
@@ -139,6 +176,16 @@ class CrawlEngine(
     Some(blobs.toSeq)
   }
 
+  private val timing = sys.env.contains("GRAFT_TIMING")
+  private def timed[T](label: String)(f: => T): T = {
+    if (!timing) f else {
+      val t0 = System.nanoTime()
+      val r = f
+      println(f"[timing] $label%-22s ${(System.nanoTime() - t0) / 1e9}%7.2f s")
+      r
+    }
+  }
+
   /** Run one micro-batch; returns the ledger metrics row as a Map. */
   def runBatch(): Map[String, Long] = {
     val committed = store.committedBatch
@@ -146,13 +193,15 @@ class CrawlEngine(
 
     val front = frontier(committed)
     val seenDf = seen(committed)
-    val seenCount = seenDf.count()
+    val seenCount = seenSize(committed)
 
     // ---- F2: seen-set dedup — bloom prefilter + authoritative anti-join.
     // !mightContain ⇒ definitely new (skips the join); mightContain ⇒ maybe
     // (false positives resolved by the exact anti-join, so a never-seen url
     // can never be dropped — FIXTURES.md §5.3).
-    val candidates = bloomBlobs(seenDf, seenCount) match {
+    // below bloomMinSeen the filter build costs more than the anti-join saves
+    val blobsOpt = timed("bloom_build")(if (seenCount >= cfg.bloomMinSeen) bloomBlobs(seenDf, seenCount) else None)
+    val candidates = blobsOpt match {
       case Some(blobs) =>
         val probed = front.withColumn("_maybe_seen", BloomSeen.bloom_probe(blobs, $"url_hash"))
         val definitelyNew = probed.filter(!$"_maybe_seen").drop("_maybe_seen")
@@ -172,7 +221,9 @@ class CrawlEngine(
           expr("parse_url(url_canon, 'PATH')").startsWith(robots("r_prefix")))
         .select(candidates.columns.map(candidates(_)): _*)
         .dropDuplicates("url_hash")
+        .persist()
     }
+    val robotsBlockedCount = if (cfg.robotsDisallow.isEmpty) 0L else robotsBlocked.count()
     val allowed = if (cfg.robotsDisallow.isEmpty) candidates
       else candidates.join(robotsBlocked.select("url_hash"), Seq("url_hash"), "left_anti")
 
@@ -183,49 +234,85 @@ class CrawlEngine(
     val budgetDf = broadcast(
       (cfg.perHostBudget.toSeq :+ ("" -> cfg.defaultHostBudget))
         .toDF("b_host", "b_budget"))
-    val w = Window.partitionBy($"host").orderBy($"priority_ts".desc, $"url_canon".asc)
+    // shardedRanking: the global per-host rank makes a mega-host one window
+    // partition — a single sequential task no matter how many executors. At
+    // scale each politeness shard (host, salt) owns budget/S and ranks
+    // independently: newest-first is preserved per shard, the sort
+    // parallelizes, and determinism is kept (salt = f(url_hash)). Tests use
+    // the exact global rank (reference-order equivalence); benches shard.
+    val w =
+      if (cfg.shardedRanking)
+        Window.partitionBy($"host", pmod($"url_hash", lit(cfg.saltBuckets.toLong)))
+          .orderBy($"priority_ts".desc, $"url_canon".asc)
+      else Window.partitionBy($"host").orderBy($"priority_ts".desc, $"url_canon".asc)
     val ranked = allowed
       .filter($"depth" <= cfg.maxDepth)
       .withColumn("fetch_ordinal", row_number().over(w))
       .join(budgetDf, $"host" === $"b_host", "left_outer")
       .withColumn("host_budget", coalesce($"b_budget", lit(cfg.defaultHostBudget)))
       .drop("b_host", "b_budget")
+    val effBudget =
+      if (cfg.shardedRanking) ceil($"host_budget" / lit(cfg.saltBuckets.toDouble)).cast("int")
+      else $"host_budget"
     val scheduled = ranked
-      .filter($"fetch_ordinal" <= $"host_budget")
+      .filter($"fetch_ordinal" <= effBudget)
       .withColumn("sched_delay_ms", ($"fetch_ordinal" - 1) * lit(cfg.defaultDelayMs))
-
-    // ---- O7/O8 inverted: parallel across hosts, sequential within a host
-    // shard. Salt splits the mega-host across partitions while keeping each
-    // (host, salt) shard on one task, which owns its token-bucket.
-    val salted = scheduled
-      .withColumn("host_salt", pmod(xxhash64($"host", pmod($"url_hash", lit(cfg.saltBuckets.toLong))),
-        lit(cfg.shufflePartitions.toLong)))
-      .repartition(cfg.shufflePartitions, $"host_salt")
 
     // ---- fetch = lookup into the pages corpus (S1 analog; in tests "fetch"
     // is this join per the driver instruction — no network). left join keeps
     // dangling outlinks as dead-letter rows (S8's not_downloaded.txt analog).
-    val fetchedRaw = salted.join(
-        pagesByCanon.select($"url_canon", $"page_url", $"warc_ts", $"html", $"text", $"lang"),
-        Seq("url_canon"), "left_outer")
-      .withColumn("found", $"page_url".isNotNull)
+    // Only the scheduled side shuffles when pages are bucket-partitioned.
+    //
+    // broadcastScheduled: ship the scheduled batch to the corpus scan — a
+    // BroadcastHashJoin where the pages side NEVER moves (scan → join →
+    // parse in one codegen stage). This is the local analog of a bucketed
+    // Iceberg scan + runtime-filter pushdown. Requires a closed corpus
+    // (every scheduled url resolves): BHJ can't preserve unmatched build
+    // rows, so dead-letter tracking needs the outer-join path.
+    val pagesSel = pagesByCanon.select($"url_canon", $"page_url", $"warc_ts", $"html", $"text", $"lang")
+    val fetchedRaw =
+      if (cfg.broadcastScheduled)
+        pagesSel.join(broadcast(scheduled), Seq("url_canon"))
+          .withColumn("found", lit(true))
+      else
+        scheduled.join(pagesSel, Seq("url_canon"), "left_outer")
+          .withColumn("found", $"page_url".isNotNull)
 
+    // O7/O8 inverted (real fetches only): parallel across hosts, sequential
+    // within a (host, salt) shard — pace() repartitions so one task owns each
+    // shard's token-bucket. Data-only runs skip the extra shuffle entirely.
     val paced = if (cfg.realTimePacing) pace(fetchedRaw) else fetchedRaw
 
     // ---- F3 time window + U1 parse + invariant check + U5 outlinks.
+    // The invariant flag is computed BEFORE persist so the cached projection
+    // can drop html/text — the cache carries ~1KB/row instead of the full
+    // page body (at bench scale the difference is whether it fits in memory).
     val parsed = paced
       .withColumn("in_range", $"found" && $"warc_ts".between($"since_ts", $"end_ts"))
       .withColumn("text_extracted", when($"found", gf.extract_text_bin($"html")))
       .withColumn("outlinks", when($"in_range", gf.extract_outlinks($"html")).otherwise(array()))
+      .withColumn("invariant_ok", !($"found" && !($"text_extracted" <=> $"text")))
       .withColumn("batch_id", lit(batchId))
       .withColumn("partition_id", spark_partition_id())
+      .select($"url_canon", $"url_hash", $"host", $"seed_id", $"depth",
+        $"since_ts", $"end_ts", $"warc_ts", $"lang", $"found", $"in_range",
+        $"invariant_ok", $"text_extracted", $"outlinks",
+        $"batch_id", $"partition_id", $"fetch_ordinal", $"sched_delay_ms")
       .persist()
 
-    val schedCount = parsed.count()
-    val notFound = parsed.filter(!$"found").count()
-    val inRange = parsed.filter($"in_range").count()
-    val invariantViolations =
-      parsed.filter($"found" && !($"text_extracted" <=> $"text")).count()
+    // single-pass batch metrics (one job, not four — per-batch fixed cost
+    // is the scale killer at high batch rates)
+    val mrow = timed("parse_agg")(parsed.agg(
+      count(lit(1)).as("sched"),
+      sum(when(!$"found", 1L).otherwise(0L)).as("not_found"),
+      sum(when($"in_range", 1L).otherwise(0L)).as("in_range"),
+      sum(when(!$"invariant_ok", 1L).otherwise(0L)).as("viol"),
+      countDistinct($"partition_id").as("nparts")).collect()(0))
+    val schedCount = mrow.getLong(0)
+    val notFound = mrow.getLong(1)
+    val inRange = mrow.getLong(2)
+    val invariantViolations = mrow.getLong(3)
+    val nPartitions = mrow.getLong(4)
 
     // lineage per north rule: (partition id, batch id, fetch ordinal)
     val fetchedOut = parsed.filter($"in_range").select(
@@ -234,7 +321,7 @@ class CrawlEngine(
       size($"outlinks").as("n_outlinks"),
       $"batch_id", $"partition_id", $"fetch_ordinal", $"sched_delay_ms")
 
-    val errorsOut = parsed.filter(!$"found").select(
+    lazy val errorsOut = parsed.filter(!$"found").select(
       $"url_canon", $"url_hash", $"host", $"seed_id", $"depth",
       lit("NOT_FOUND").as("error"), $"batch_id", $"partition_id")
 
@@ -279,6 +366,7 @@ class CrawlEngine(
           .withColumn("first_batch", lit(batchId))
           .select("url_hash", "url_canon", "first_batch"))
       .dropDuplicates("url_hash") // MERGE: first-occurrence wins (weibo.py:1698-1699)
+      .persist() // consumed by the seen write AND two frontier anti-joins
 
     val newFrontier = front
       .join(processedHashes, Seq("url_hash"), "left_anti")
@@ -288,29 +376,34 @@ class CrawlEngine(
           .join(front.select("url_hash"), Seq("url_hash"), "left_anti"))
 
     // ---- atomic multi-table snapshot commit (Iceberg MERGE analog)
-    store.write("frontier", batchId, newFrontier)
-    store.write("seen", batchId, newSeen)
-    store.appendLog("fetched", batchId, fetchedOut)
-    store.appendLog("errors", batchId, errorsOut)
+    timed("write_frontier")(store.write("frontier", batchId, newFrontier))
+    timed("write_seen")(store.write("seen", batchId, newSeen))
+    timed("write_fetched")(store.appendLog("fetched", batchId, fetchedOut))
+    if (notFound > 0) store.appendLog("errors", batchId, errorsOut)
 
-    val frontierSize = frontier(batchId).count() // read-back: what we committed
-    val seenSize = seen(batchId).count()
-    val nPartitions = parsed.select("partition_id").distinct().count()
+    val frontierSize = timed("frontier_count")(frontier(batchId).count()) // metadata-only read-back
+    // arithmetic |seen| update: scheduled + blocked are frontier-unique and
+    // were anti-joined against seen, so every one is a first occurrence
+    val newSeenSize = seenCount + schedCount + robotsBlockedCount
+    val candidateCount = if (cfg.detailedMetrics) candidates.count() else -1L
     val metrics = Map(
-      "batch_id" -> batchId, "candidates" -> candidates.count(),
+      "batch_id" -> batchId, "candidates" -> candidateCount,
       "scheduled" -> schedCount, "fetched" -> inRange, "not_found" -> notFound,
-      "robots_blocked" -> robotsBlocked.count(),
+      "robots_blocked" -> robotsBlockedCount,
       "invariant_violations" -> invariantViolations,
-      "frontier_size" -> frontierSize, "seen_size" -> seenSize,
+      "frontier_size" -> frontierSize, "seen_size" -> newSeenSize,
       "partitions_used" -> nPartitions)
     store.appendLog("ledger", batchId,
-      Seq((batchId, "SUCCESS", metrics("candidates"), schedCount, inRange, notFound,
-        metrics("robots_blocked"), invariantViolations, frontierSize, seenSize, nPartitions))
+      Seq((batchId, "SUCCESS", candidateCount, schedCount, inRange, notFound,
+        robotsBlockedCount, invariantViolations, frontierSize, newSeenSize, nPartitions))
         .toDF("batch_id", "state", "candidates", "scheduled", "fetched", "not_found",
           "robots_blocked", "invariant_violations", "frontier_size", "seen_size", "partitions_used"))
     store.commit(batchId)
+    seenSizeCache = newSeenSize
     parsed.unpersist()
+    newSeen.unpersist()
     processedHashes.unpersist()
+    if (!cfg.robotsDisallow.isEmpty) robotsBlocked.unpersist()
     metrics
   }
 
@@ -321,10 +414,14 @@ class CrawlEngine(
     * (weibo.py:2769-2778 analog). Data passes through unchanged. */
   private def pace(df: DataFrame): DataFrame = {
     import org.apache.spark.sql.graftbridge
-    val schema = df.schema
+    val salted = df
+      .withColumn("host_salt", pmod(xxhash64($"host", pmod($"url_hash", lit(cfg.saltBuckets.toLong))),
+        lit(cfg.shufflePartitions.toLong)))
+      .repartition(cfg.shufflePartitions, $"host_salt")
+    val schema = salted.schema
     val hostIdx = schema.fieldIndex("host")
     val delayMs = cfg.defaultDelayMs
-    val sorted = df.sortWithinPartitions($"host_salt", $"fetch_ordinal")
+    val sorted = salted.sortWithinPartitions($"host_salt", $"fetch_ordinal")
     val out = graftbridge.toInternalRdd(sorted).mapPartitions { rows =>
       var lastHost: String = null
       var lastAt = 0L

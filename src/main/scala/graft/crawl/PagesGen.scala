@@ -68,7 +68,7 @@ object PagesGen {
     *  - optional cross-seed/cross-host links (repost/discovery analog,
     *    weibo.py:1430 retweets) — `crossLinks=false` yields the pure-paging
     *    corpus used by the ordering-equivalence test (FIXTURES.md §5.2). */
-  def htmlOf(i: Long, n: Long, crossLinks: Boolean = true): (String, String) = {
+  def htmlOf(i: Long, n: Long, crossLinks: Boolean = true, bodyRepeat: Int = 0): (String, String) = {
     val s = numSeeds(n)
     val seedId = Math.floorMod(i, s)
     val postId = i / s
@@ -95,6 +95,14 @@ object PagesGen {
     if (Math.floorMod(m >>> 9, 7L) == 0) sb.append("​") // zero-width space (weibo.py:1279-1283)
     sb.append("<br>")
     sb.append(if (lang == "zh") "今天天气不错" else "plain tail text")
+    // bodyRepeat: pad to realistic web-page sizes (real pages are tens of
+    // KB; parse cost must dominate at bench scale like it does in production)
+    var k = 0
+    while (k < bodyRepeat) {
+      val wv = vocab(Math.floorMod(m >>> (k % 48), vocab.length.toLong).toInt)
+      sb.append(s"""<p>$wv section $k <b>${vocab(((k * 7) % vocab.length).abs)}</b> body text run</p>""")
+      k += 1
+    }
     // timeline paging link: next-older post of the same seed
     if (i + s < n) {
       val seedId = Math.floorMod(i, s); val postId = i / s
@@ -109,11 +117,11 @@ object PagesGen {
   }
 
   /** Pure row constructor. text := extractText(html) — invariant by construction. */
-  def page(i: Long, n: Long, crossLinks: Boolean = true): Page = {
+  def page(i: Long, n: Long, crossLinks: Boolean = true, bodyRepeat: Int = 0): Page = {
     val s = numSeeds(n)
     val seedId = Math.floorMod(i, s)
     val postId = i / s
-    val (html, lang) = htmlOf(i, n, crossLinks)
+    val (html, lang) = htmlOf(i, n, crossLinks, bodyRepeat)
     Page(
       url = urlOf(seedId, postId, n),
       warc_ts = new java.sql.Timestamp(tsOf(seedId, postId)),
@@ -124,16 +132,18 @@ object PagesGen {
 
   /** Distributed generation: spark.range keeps it fully parallel and pure. */
   def pages(spark: SparkSession, n: Long, partitions: Int = 32,
-      crossLinks: Boolean = true): Dataset[Page] = {
+      crossLinks: Boolean = true, bodyRepeat: Int = 0): Dataset[Page] = {
     import spark.implicits._
-    spark.range(0, n, 1, partitions).map(i => page(i, n, crossLinks))
+    spark.range(0, n, 1, partitions).map(i => page(i, n, crossLinks, bodyRepeat))
   }
 
   /** Materialize to parquet once (idempotent — skip if committed marker exists). */
-  def materialize(spark: SparkSession, n: Long, path: String, partitions: Int = 32): DataFrame = {
+  def materialize(spark: SparkSession, n: Long, path: String, partitions: Int = 32,
+      bodyRepeat: Int = 0): DataFrame = {
     val marker = new java.io.File(path, "_GRAFT_DONE")
     if (!marker.exists()) {
-      pages(spark, n, partitions).write.mode("overwrite").parquet(path)
+      pages(spark, n, partitions, crossLinks = true, bodyRepeat = bodyRepeat)
+        .write.mode("overwrite").parquet(path)
       marker.createNewFile()
     }
     spark.read.parquet(path)

@@ -213,5 +213,7 @@ class CrawlSpec extends AnyFunSuite {
       "invariant_violations", "frontier_size", "seen_size", "partitions_used").subsetOf(cols))
     assert(led.forall(_.getAs[String]("state") == "SUCCESS"))
     assert(led.forall(_.getAs[Long]("invariant_violations") == 0L))
+    // arithmetic seen_size bookkeeping must equal the actual table
+    assert(led.last.getAs[Long]("seen_size") == eng.seen().count())
   }
 }

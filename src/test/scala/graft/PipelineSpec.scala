@@ -1,0 +1,196 @@
+package graft
+
+import graft.operators.QueryPack
+import graft.pipeline._
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Semantics tests for the training-data pipeline operators (dedup, ANN,
+  * text analysis, multimodal) and the read-side query pack. */
+class PipelineSpec extends AnyFunSuite {
+  lazy val spark = SparkTestSession.spark
+  import spark.implicits._
+
+  // ---------- dedup ----------
+  val docs = Seq(
+    (0L, "the quick brown fox jumps over the lazy dog"),
+    (1L, "the quick brown fox jumps over the lazy dog"), // exact dup of 0
+    (2L, "the quick brown fox jumps over the lazy cat"), // near dup (1 token)
+    (3L, "completely different text about spark engines"),
+    (4L, "")).toDF("doc_id", "text")
+
+  test("exact dedup: first occurrence wins") {
+    val r = Dedup.exact(docs).collect().map(r => (r.getLong(0), r.getLong(1))).toMap
+    assert(r(0L) == 2L) // keeper 0, two copies
+    assert(r(3L) == 1L)
+  }
+
+  test("jaccard pairs: dup pair found with exact integer arithmetic") {
+    val pairs = Dedup.jaccardPairs(docs, threshold10 = 6)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    // doc0/doc1 identical: inter == union
+    assert(pairs.exists { case (a, b, i, u) => a == 0 && b == 1 && i == u })
+    // doc0/doc2 share 7 of 9 distinct tokens: 10*7 >= 6*9
+    assert(pairs.exists { case (a, b, _, _) => a == 0 && b == 2 })
+    assert(!pairs.exists { case (a, b, _, _) => b == 3 || a == 3 })
+  }
+
+  test("minhash LSH: identical docs share all bands; disjoint docs none") {
+    val pairs = Dedup.minhashLshPairs(docs, numHashes = 12, rowsPerBand = 3)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    assert(pairs.exists { case (a, b, n) => a == 0 && b == 1 && n == 4 })
+    assert(!pairs.exists { case (a, b, _) => a == 3 || b == 3 })
+  }
+
+  test("simhash: identical docs get identical signatures; near dups close") {
+    val sh = Dedup.simhash16(docs).collect().map(r => (r.getLong(0), r.getLong(1))).toMap
+    assert(sh(0L) == sh(1L))
+    assert(java.lang.Long.bitCount(sh(0L) ^ sh(2L)) <= 6) // 8/9 tokens shared
+    val nd = Dedup.simhashNearDups(docs, maxDist = 0)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    assert(nd.contains((0L, 1L, 0L)))
+  }
+
+  test("simhash pigeonhole bucketing finds every pair a full cross join would (dist<=3)") {
+    val bigger = (0L until 64L).map(i => (i, s"tok${i % 7} alpha beta gamma tok${i % 5}")).toDF("doc_id", "text")
+    val bucketed = Dedup.simhashNearDups(bigger, 3).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val sh = Dedup.simhash16(bigger).collect().map(r => (r.getLong(0), r.getLong(1)))
+    val brute = (for {
+      (a, ha) <- sh; (b, hb) <- sh if a < b
+      if java.lang.Long.bitCount(ha ^ hb) <= 3
+    } yield (a, b)).toSet
+    assert(bucketed == brute)
+  }
+
+  // ---------- similarity ----------
+  test("brute-force cosine top-k ranks an identical vector first") {
+    val vecs = Seq(
+      (0L, Array(1.0f, 0.0f, 0.0f)),
+      (10L, Array(2.0f, 0.0f, 0.0f)),  // same direction as 0
+      (11L, Array(0.9f, 0.1f, 0.0f)),  // close
+      (12L, Array(0.0f, 1.0f, 0.0f)),  // orthogonal
+      (13L, Array(-1.0f, 0.0f, 0.0f))  // opposite
+    ).toDF("vec_id", "embedding")
+    val r = Similarity.bruteForceTopK(vecs.filter($"vec_id" === 0), vecs, k = 3)
+      .orderBy("rk").collect().map(_.getLong(1)).toSeq
+    assert(r == Seq(10L, 11L, 12L))
+  }
+
+  test("LSH signature buckets identical-direction vectors together") {
+    val vecs = Seq(
+      (0L, Array.fill(64)(0.5f)),
+      (1L, Array.fill(64)(0.25f)),           // same direction
+      (2L, Array.tabulate(64)(i => if (i % 2 == 0) 1.0f else -1.0f))
+    ).toDF("vec_id", "embedding")
+    val sigs = Similarity.lshSignature(vecs, bits = 8, dims = 64)
+      .collect().map(r => (r.getLong(0), r.getLong(2))).toMap
+    assert(sigs(0L) == sigs(1L))
+    assert(sigs(0L) != sigs(2L)) // overwhelmingly likely by construction
+  }
+
+  // ---------- text analysis ----------
+  test("langId: script and vowel-density branches") {
+    val r = Seq((1L, "今天天气不错今天天气"), (2L, "the rain in spain stays mainly"),
+        (3L, "zzzz qqqq wwww"), (4L, ""))
+      .toDF("doc_id", "text")
+      .select($"doc_id", TextAnalysis.langId($"text").as("l"))
+      .collect().map(r => (r.getLong(0), r.getString(1))).toMap
+    assert(r(1L) == "zh" && r(2L) == "en" && r(3L) == "other" && r(4L) == "unknown")
+  }
+
+  test("quality score components") {
+    val good = "the quick brown fox is one of the animals in many stories"
+    val bad = "!!! ??? ###"
+    val r = Seq((1L, good), (2L, bad)).toDF("doc_id", "text")
+      .select($"doc_id", TextAnalysis.qualityScore($"text").as("q"))
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toMap
+    assert(r(1L) == 6L)
+    assert(r(2L) <= 1L)
+  }
+
+  test("token counts") {
+    val r = Seq((1L, "hello world 42 foo-bar!")).toDF("doc_id", "text")
+      .select(TextAnalysis.wsTokenCount($"text"), TextAnalysis.regexTokenCount($"text"))
+      .head()
+    assert(r.getLong(0) == 4L)
+    assert(r.getLong(1) == 7L) // hello, world, 42, foo, -, bar, !
+  }
+
+  test("fingerprint is normalization-invariant") {
+    val r = Seq((1L, "Hello,  World!"), (2L, "hello world")).toDF("doc_id", "text")
+      .select(TextAnalysis.fingerprint($"text").as("fp")).collect().map(_.getString(0))
+    assert(r(0) == r(1))
+  }
+
+  test("rolling hash: equal windows hash equal, position-independent") {
+    val h1 = TextAnalysis.rollingHashes("abcdefgh", 4)
+    val h2 = TextAnalysis.rollingHashes("xyzabcdefgh", 4)
+    assert(h1.length == 5)
+    assert(h2.containsSlice(h1)) // shared suffix windows match
+    assert(h1.distinct.length == h1.length) // distinct windows distinct (whp)
+  }
+
+  // ---------- multimodal ----------
+  test("media feature extraction sniffs magic numbers and batches") {
+    val media = Seq(
+      MediaRow(1L, "image", Array[Byte](0xff.toByte, 0xd8.toByte, 0xff.toByte, 1, 2, 0xff.toByte, 0xd9.toByte)),
+      MediaRow(2L, "image", (Seq(0x89.toByte) ++ "PNG".getBytes.toSeq).toArray),
+      MediaRow(3L, "video", "GIF89a".getBytes),
+      MediaRow(4L, "audio", Array[Byte](1, 2, 3))).toDS()
+    val f = Multimodal.extractFeatures(media, batchSize = 2)
+      .collect().map(x => x.media_id -> x).toMap
+    assert(f(1L).sniffed_ext == "jpg" && f(2L).sniffed_ext == "png")
+    assert(f(3L).sniffed_ext == "gif" && f(4L).sniffed_ext == "bin")
+    assert(f(3L).n_frames >= 1 && f(4L).n_frames == 0)
+    // deterministic stub: same bytes => same dims
+    val again = Multimodal.extractFeatures(media).collect().map(x => x.media_id -> x).toMap
+    assert(f(1L).width == again(1L).width && f(1L).height == again(1L).height)
+  }
+
+  test("binary sniff expression matches typed sniff") {
+    val media = Multimodal.synthMedia(spark, spark.range(100).toDF("k"), "k")
+    val viaExpr = media.toDF.withColumn("ext", Multimodal.sniffExt($"bytes"))
+      .select("media_id", "ext").collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    val viaTyped = Multimodal.extractFeatures(media).collect().map(x => x.media_id -> x.sniffed_ext).toMap
+    assert(viaExpr == viaTyped)
+    // jpeg completeness holds for synthesized jpegs
+    val complete = media.toDF.filter(pmod($"media_id", lit(4)) === 0)
+      .filter(!Multimodal.jpegComplete($"bytes")).count()
+    assert(complete == 0)
+  }
+
+  // ---------- query pack ----------
+  val ev = Seq(
+    (1L, "2024-01-01 00:00:00", 7L), (2L, "2024-01-01 00:10:00", 7L),
+    (3L, "2024-01-01 01:10:00", 7L), (4L, "2024-01-01 00:05:00", 9L))
+    .toDF("event_id", "ts_s", "user_id")
+    .withColumn("ts", to_timestamp($"ts_s")).drop("ts_s")
+
+  test("sessionize splits on gap > threshold") {
+    val r = QueryPack.sessionize(ev, "user_id", "ts", "event_id", 1800)
+      .collect().map(r => (r.getLong(0), r.getAs[Long]("session_id"))).toMap
+    assert(r(1L) == 0L && r(2L) == 0L && r(3L) == 1L && r(4L) == 0L)
+  }
+
+  test("prevNext emits lag/lead ids") {
+    val r = QueryPack.prevNext(ev, Seq("user_id"), Seq(col("ts").asc, col("event_id").asc), "event_id")
+      .collect().map(r => (r.getLong(0), (Option(r.getAs[java.lang.Long]("prev_id")), Option(r.getAs[java.lang.Long]("next_id"))))).toMap
+    assert(r(1L) == (None, Some(2L)))
+    assert(r(2L) == (Some(java.lang.Long.valueOf(1)), Some(java.lang.Long.valueOf(3))))
+    assert(r(4L) == (None, None))
+  }
+
+  test("latestWins keeps newest per key") {
+    val r = QueryPack.latestWins(ev, Seq("user_id"), Seq(col("ts").desc, col("event_id").desc))
+      .collect().map(r => r.getAs[Long]("user_id") -> r.getAs[Long]("event_id")).toMap
+    assert(r(7L) == 3L && r(9L) == 4L)
+  }
+
+  test("paginate returns the requested window") {
+    val df = spark.range(1, 101).toDF("id")
+    val page3 = QueryPack.paginate(df, Seq(col("id").asc), page = 3, pageSize = 10)
+      .collect().map(_.getLong(0)).toSeq
+    assert(page3 == (21L to 30L))
+  }
+}
