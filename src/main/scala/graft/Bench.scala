@@ -68,6 +68,39 @@ object Bench {
     (ms.map(_("fetched")).sum, dt)
   }
 
+  /** Run ScalingProbe in an isolated child JVM pinned to `cpus` processors. */
+  private def childRun(cpus: Int, nPages: Long, bodyRepeat: Int): ChildResult = {
+    val addOpens = Seq(
+      "java.base/java.lang", "java.base/java.lang.invoke",
+      "java.base/java.lang.reflect", "java.base/java.io",
+      "java.base/java.net", "java.base/java.nio",
+      "java.base/java.util", "java.base/java.util.concurrent",
+      "java.base/java.util.concurrent.atomic",
+      "java.base/sun.nio.ch", "java.base/sun.nio.cs",
+      "java.base/sun.security.action", "java.base/sun.util.calendar"
+    ).flatMap(pkg => Seq("--add-opens", s"$pkg=ALL-UNNAMED"))
+    val cmd = Seq(s"${System.getProperty("java.home")}/bin/java") ++ addOpens ++ Seq(
+      s"-XX:ActiveProcessorCount=$cpus", "-Xmx24g", "-XX:+UseParallelGC",
+      "-Dspark.ui.enabled=false", "-Dspark.sql.session.timeZone=UTC",
+      "-cp", System.getProperty("java.class.path"),
+      "graft.tools.ScalingProbe", cpus.toString, nPages.toString, bodyRepeat.toString)
+    val proc = new ProcessBuilder(cmd: _*).redirectErrorStream(true).start()
+    val lines = scala.io.Source.fromInputStream(proc.getInputStream).getLines()
+      .map { l => if (sys.env.contains("GRAFT_TIMING")) System.err.println(s"[child-$cpus] $l"); l }
+      .filter(_.startsWith("PROBE")).toList
+    proc.waitFor()
+    def kv(prefix: String): Map[String, String] = lines.find(_.startsWith(prefix + " "))
+      .map(_.split("\\s+").collect { case s if s.contains("=") =>
+        val Array(k, v) = s.split("=", 2); k -> v }.toMap).getOrElse(Map.empty)
+    val e2e = kv("PROBE")
+    require(e2e.nonEmpty, s"child $cpus produced no PROBE line")
+    ChildResult(e2e("fetched").toLong, e2e("sec").toDouble,
+      kv("PROBE2").get("tp").map(_.toDouble).getOrElse(-1),
+      kv("PROBE3").get("tp").map(_.toDouble).getOrElse(-1))
+  }
+
+  case class ChildResult(fetched: Long, sec: Double, stageTp: Double, parseTp: Double)
+
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32").toInt
@@ -90,27 +123,31 @@ object Bench {
     val (fetchedC, dtC) = crawlBench(spark, benchPages, cpus, batches = 2, bodyRepeat)
     spark.stop()
 
-    // ---- phase 3: scaling evidence — same job, same corpus at local[8]
+    // ---- phase 3: scaling evidence — same job, same corpus, N vs 4N cores.
+    // Each level runs in its OWN child JVM pinned with -XX:ActiveProcessorCount
+    // so local[8] is a true quarter-machine (GC/JIT/IO pools included) —
+    // otherwise the 8-core run borrows the other 24 cores for JVM services
+    // and the ratio understates real cluster scaling.
     var scalingJson = ""
     if (!skipScaling) {
       // best-of-2 per level: the sandbox VM shows ~2-3x run-to-run noise
       // (shared host); min-of-k is the standard robust estimator for that
       val runs = Seq(8, 32).map { c =>
-        val best = (1 to 2).map { _ =>
-          org.apache.spark.sql.SparkSession.clearActiveSession()
-          org.apache.spark.sql.SparkSession.clearDefaultSession()
-          val s = session(c)
-          val (f, dt) = crawlBench(s, benchPages, c, batches = 2, bodyRepeat)
-          s.stop()
-          (f, dt)
-        }.minBy(_._2)
-        (c, best._1, best._2, best._1 / best._2)
-      }
-      val Seq((_, f8, t8, tp8), (_, f32, t32, tp32)) = runs
+        val best = (1 to 2).map(_ => childRun(c, benchPages, bodyRepeat)).minBy(_.sec)
+        c -> best
+      }.toMap
+      val (r8, r32) = (runs(8), runs(32))
+      val (tp8, tp32) = (r8.fetched / r8.sec, r32.fetched / r32.sec)
       val eff = (tp32 / tp8) / 4.0
-      scalingJson = s""","scaling":{"pages":$benchPages,"fetched_8":$f8,"sec_8":$t8,""" +
-        s""""urls_per_sec_8":$tp8,"fetched_32":$f32,"sec_32":$t32,"urls_per_sec_32":$tp32,""" +
-        s""""efficiency_8_to_32":$eff}"""
+      val effStage = (r32.stageTp / r8.stageTp) / 4.0
+      val effParse = (r32.parseTp / r8.parseTp) / 4.0
+      scalingJson = s""","scaling":{"pages":$benchPages,"fetched_8":${r8.fetched},"sec_8":${r8.sec},""" +
+        s""""urls_per_sec_8":$tp8,"fetched_32":${r32.fetched},"sec_32":${r32.sec},"urls_per_sec_32":$tp32,""" +
+        s""""efficiency_8_to_32":$eff,""" +
+        s""""stage_pages_per_sec_8":${r8.stageTp},"stage_pages_per_sec_32":${r32.stageTp},""" +
+        s""""stage_efficiency":$effStage,""" +
+        s""""parse_pages_per_sec_8":${r8.parseTp},"parse_pages_per_sec_32":${r32.parseTp},""" +
+        s""""parse_efficiency":$effParse}"""
     }
 
     val qs = results.map { case (k, v) => "\"" + k + "\":" + v }.mkString("{", ",", "}")

@@ -187,6 +187,54 @@ object SparkEntry {
         .select(col("doc_id"), col("packed"))
     }),
 
+    "q43_parse_coalesce_dates" -> ((s, dir) => {
+      // X16/S4: first-parse-wins over heterogeneous date strings
+      t(s, dir, "events")
+        .withColumn("raw",
+          when(pmod(col("event_id"), lit(3)) === 0, date_format(col("ts"), "yyyy-MM-dd'T'HH:mm:ss"))
+            .when(pmod(col("event_id"), lit(3)) === 1, date_format(col("ts"), "yyyy-MM-dd HH:mm:ss"))
+            .otherwise(date_format(col("ts"), "yyyy-MM-dd")))
+        .withColumn("parsed", graft.functions.ScalarOps.parseCoalesceTs(col("raw")))
+        .select(col("event_id"), col("raw"), col("parsed"))
+    }),
+
+    "q45_parts_per_supplier" -> ((s, dir) => {
+      t(s, dir, "lineitem").groupBy(col("l_suppkey"))
+        .agg(countDistinct(col("l_partkey")).as("n_parts"),
+          count(lit(1)).as("n_items"))
+    }),
+
+    "q46_tag_strip" -> ((s, dir) => {
+      // X2: regex tag-strip variant over a synthesized html-ish column
+      t(s, dir, "documents")
+        .withColumn("html_ish", concat(lit("<b>"), col("text"), lit("</b>\n")))
+        .select(col("doc_id"), graft.functions.ScalarOps.stripTags(col("html_ish")).as("stripped"))
+    }),
+
+    "q47_relative_dates" -> ((s, dir) => {
+      // X9 with an injected deterministic anchor (no wall clock)
+      val anchor = lit(java.sql.Timestamp.valueOf("2025-01-01 00:00:00"))
+      t(s, dir, "events")
+        .withColumn("raw",
+          when(pmod(col("event_id"), lit(4)) === 0, lit("刚刚"))
+            .when(pmod(col("event_id"), lit(4)) === 1,
+              concat((pmod(col("event_id"), lit(50)) + 1).cast("string"), lit("分钟前")))
+            .when(pmod(col("event_id"), lit(4)) === 2,
+              concat((pmod(col("event_id"), lit(20)) + 1).cast("string"), lit("小时前")))
+            .otherwise(lit("昨天 12:00")))
+        .withColumn("normalized", graft.functions.ScalarOps.relativeDate(col("raw"), anchor))
+        .select(col("event_id"), col("raw"), col("normalized"))
+    }),
+
+    "q52_search_pushdown_scan" -> ((s, dir) => {
+      // S2: predicate pushed into the source scan (lang + content filter);
+      // PushedFilters asserted in PlanSpec
+      t(s, dir, "documents")
+        .filter(col("lang") === "zh" && col("n_chars") > 200)
+        .filter(col("text").contains("data"))
+        .select(col("doc_id"), col("lang"), col("n_chars"))
+    }),
+
     // ---- crawl-scheduler semantics with oracle (W1/W3/F2/F7 analogs) -------
     "q40_host_budget_schedule" -> ((s, dir) => {
       QueryPack.topKPerGroup(t(s, dir, "events"), Seq("user_id"),
@@ -423,6 +471,48 @@ object SparkEntry {
     "q17_pack_arrays" ->
       """SELECT doc_id, array_to_string(string_split(text, ' ')[1:3], ',') AS packed
         |FROM documents""".stripMargin,
+
+    "q43_parse_coalesce_dates" ->
+      """SELECT event_id,
+        | CASE WHEN event_id % 3 = 0 THEN strftime(ts, '%Y-%m-%dT%H:%M:%S')
+        |      WHEN event_id % 3 = 1 THEN strftime(ts, '%Y-%m-%d %H:%M:%S')
+        |      ELSE strftime(ts, '%Y-%m-%d') END AS raw,
+        | COALESCE(
+        |  try_strptime(CASE WHEN event_id % 3 = 0 THEN strftime(ts, '%Y-%m-%dT%H:%M:%S')
+        |      WHEN event_id % 3 = 1 THEN strftime(ts, '%Y-%m-%d %H:%M:%S')
+        |      ELSE strftime(ts, '%Y-%m-%d') END, '%Y-%m-%dT%H:%M:%S'),
+        |  try_strptime(CASE WHEN event_id % 3 = 0 THEN strftime(ts, '%Y-%m-%dT%H:%M:%S')
+        |      WHEN event_id % 3 = 1 THEN strftime(ts, '%Y-%m-%d %H:%M:%S')
+        |      ELSE strftime(ts, '%Y-%m-%d') END, '%Y-%m-%d %H:%M:%S'),
+        |  try_strptime(CASE WHEN event_id % 3 = 0 THEN strftime(ts, '%Y-%m-%dT%H:%M:%S')
+        |      WHEN event_id % 3 = 1 THEN strftime(ts, '%Y-%m-%d %H:%M:%S')
+        |      ELSE strftime(ts, '%Y-%m-%d') END, '%Y-%m-%d')) AS parsed
+        |FROM events""".stripMargin,
+
+    "q45_parts_per_supplier" ->
+      """SELECT l_suppkey, CAST(COUNT(DISTINCT l_partkey) AS BIGINT) AS n_parts,
+        | COUNT(*) AS n_items FROM lineitem GROUP BY l_suppkey""".stripMargin,
+
+    "q46_tag_strip" ->
+      """SELECT doc_id,
+        | trim(replace(regexp_replace('<b>' || text || '</b>' || chr(10), '<[^<]+?>', '', 'g'), chr(10), '')) AS stripped
+        |FROM documents""".stripMargin,
+
+    "q47_relative_dates" ->
+      """SELECT event_id,
+        | CASE WHEN event_id % 4 = 0 THEN '刚刚'
+        |      WHEN event_id % 4 = 1 THEN ((event_id % 50) + 1)::VARCHAR || '分钟前'
+        |      WHEN event_id % 4 = 2 THEN ((event_id % 20) + 1)::VARCHAR || '小时前'
+        |      ELSE '昨天 12:00' END AS raw,
+        | CASE WHEN event_id % 4 = 0 THEN TIMESTAMP '2025-01-01 00:00:00'
+        |      WHEN event_id % 4 = 1 THEN TIMESTAMP '2025-01-01 00:00:00' - to_minutes((event_id % 50) + 1)
+        |      WHEN event_id % 4 = 2 THEN TIMESTAMP '2025-01-01 00:00:00' - to_hours((event_id % 20) + 1)
+        |      ELSE TIMESTAMP '2025-01-01 00:00:00' - to_days(1) END AS normalized
+        |FROM events""".stripMargin,
+
+    "q52_search_pushdown_scan" ->
+      """SELECT doc_id, lang, n_chars FROM documents
+        |WHERE lang = 'zh' AND n_chars > 200 AND text LIKE '%data%'""".stripMargin,
 
     "q40_host_budget_schedule" ->
       """SELECT user_id, event_id, fetch_ordinal, (fetch_ordinal - 1) * 6000 AS sched_delay_ms

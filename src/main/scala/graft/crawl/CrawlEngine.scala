@@ -289,8 +289,11 @@ class CrawlEngine(
     // page body (at bench scale the difference is whether it fits in memory).
     val parsed = paced
       .withColumn("in_range", $"found" && $"warc_ts".between($"since_ts", $"end_ts"))
-      .withColumn("text_extracted", when($"found", gf.extract_text_bin($"html")))
-      .withColumn("outlinks", when($"in_range", gf.extract_outlinks($"html")).otherwise(array()))
+      // fused single-pass parse: ONE scan yields text + outlinks (the DOM
+      // pair of expressions parses the page twice and doubles allocation)
+      .withColumn("_p", when($"found", gf.extract_parsed($"html")))
+      .withColumn("text_extracted", $"_p.text")
+      .withColumn("outlinks", when($"in_range", $"_p.outlinks").otherwise(array()))
       .withColumn("invariant_ok", !($"found" && !($"text_extracted" <=> $"text")))
       .withColumn("batch_id", lit(batchId))
       .withColumn("partition_id", spark_partition_id())
@@ -405,6 +408,20 @@ class CrawlEngine(
     processedHashes.unpersist()
     if (!cfg.robotsDisallow.isEmpty) robotsBlocked.unpersist()
     metrics
+  }
+
+  /** Post-run materialized summary (S17 analog: the reference pre-builds
+    * task/schedule result caches after each run, service.py:580-964,
+    * 967-1024): per-host and per-seed rollups of everything fetched so far,
+    * written as a queryable snapshot table. */
+  def refreshSummary(): Option[DataFrame] = fetched().map { f =>
+    val summary = f.groupBy($"host", $"seed_id")
+      .agg(count(lit(1)).as("n_fetched"),
+        min($"warc_ts").as("oldest_ts"), max($"warc_ts").as("newest_ts"),
+        max($"depth").as("max_depth"), sum($"n_outlinks").as("total_outlinks"),
+        countDistinct($"batch_id").as("n_batches"))
+    store.write("summary", store.committedBatch, summary)
+    store.read("summary", store.committedBatch, summary)
   }
 
   /** Wall-clock token-bucket pacing inside the fetch stage — only when

@@ -74,6 +74,19 @@ class StateStore(spark: SparkSession, root: String) {
   def appendLog(table: String, batch: Long, df: DataFrame): Unit =
     df.write.mode("overwrite").parquet(rootPath.resolve(table).resolve(s"batch=$batch").toString)
 
+  /** Generic MERGE with latest-wins semantics (the reference's upsert sinks:
+    * SQLite INSERT OR REPLACE weibo.py:2530-2541, MySQL ON DUPLICATE KEY
+    * weibo.py:2105-2147, Mongo find+update weibo.py:2040-2064, JSON
+    * merge-by-id weibo.py:1959-1996 — all are MERGE INTO keyed on id):
+    * union current state with updates, keep the newest row per key, write the
+    * next version. Call commit() after all tables of the batch are written. */
+  def mergeLatestWins(table: String, v: Long, updates: DataFrame,
+      keyCols: Seq[String], versionOrder: Seq[org.apache.spark.sql.Column]): Unit = {
+    val current = if (exists(table, v - 1)) Some(spark.read.parquet(versionDir(table, v - 1))) else None
+    val unioned = current.map(_.unionByName(updates)).getOrElse(updates)
+    write(table, v, graft.operators.QueryPack.latestWins(unioned, keyCols, versionOrder))
+  }
+
   def readLog(table: String, upToBatch: Long): Option[DataFrame] = {
     val dir = rootPath.resolve(table)
     if (!Files.exists(dir)) return None

@@ -19,6 +19,15 @@ object ExprImpl {
   def extractText(html: UTF8String): UTF8String =
     if (html == null) null else UTF8String.fromString(TextExtract.extractText(html.toString))
 
+  /** single-pass (text, outlinks) — the crawl hot path; see FastParse. */
+  def extractParsedBin(html: Array[Byte]): org.apache.spark.sql.catalyst.InternalRow = {
+    if (html == null) return null
+    val r = FastParse.parse(new String(html, java.nio.charset.StandardCharsets.UTF_8))
+    new org.apache.spark.sql.catalyst.expressions.GenericInternalRow(Array[Any](
+      if (r.text == null) null else UTF8String.fromString(r.text),
+      new GenericArrayData(r.outlinks.map(UTF8String.fromString): Array[Any])))
+  }
+
   def extractTextBin(html: Array[Byte]): UTF8String =
     if (html == null) null
     else UTF8String.fromString(TextExtract.extractText(new String(html, java.nio.charset.StandardCharsets.UTF_8)))
@@ -77,6 +86,19 @@ case class ExtractOutlinks(child: Expression) extends UnaryExpression {
   override def prettyName: String = "extract_outlinks"
 }
 
+/** html (binary) → struct(text, outlinks) in ONE scan — the fused crawl
+  * hot-path expression (one parse per page instead of two; allocation-lean). */
+case class ExtractParsed(child: Expression) extends UnaryExpression {
+  override def dataType: DataType = StructType(Seq(
+    StructField("text", StringType, nullable = true),
+    StructField("outlinks", ArrayType(StringType, containsNull = false), nullable = false)))
+  override def nullSafeEval(v: Any): Any = ExprImpl.extractParsedBin(v.asInstanceOf[Array[Byte]])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.functions.ExprImpl.extractParsedBin($c)")
+  override protected def withNewChildInternal(c: Expression): ExtractParsed = copy(c)
+  override def prettyName: String = "extract_parsed"
+}
+
 /** html (string) → topics array (weibo.py:1210-1221). */
 case class ExtractTopics(child: Expression) extends UnaryExpression {
   override def dataType: DataType = ArrayType(StringType, containsNull = false)
@@ -132,6 +154,7 @@ object gf {
   def extract_text(c: Column): Column = column(ExtractText(expression(c)))
   def extract_text_bin(c: Column): Column = column(ExtractTextBin(expression(c)))
   def extract_outlinks(c: Column): Column = column(ExtractOutlinks(expression(c)))
+  def extract_parsed(c: Column): Column = column(ExtractParsed(expression(c)))
   def extract_topics(c: Column): Column = column(ExtractTopics(expression(c)))
   def extract_at_users(c: Column): Column = column(ExtractAtUsers(expression(c)))
   def string_to_int_cjk(c: Column): Column = column(StringToIntExpr(expression(c)))

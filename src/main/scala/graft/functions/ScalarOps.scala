@@ -1,0 +1,51 @@
+package graft.functions
+
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.Column
+
+/**
+ * Scalar column helpers re-expressing the reference's value-level functions
+ * (SURVEY.md §2.7) as pure Catalyst expressions — no UDFs, no wall clock.
+ */
+object ScalarOps {
+
+  /**
+   * X9 — relative-date normalization (/root/reference/weibo.py:1247-1268):
+   * 「刚刚」→ anchor; 「N分钟」→ anchor−N min; 「N小时」→ anchor−N h;
+   * 「昨天」→ anchor−1 day; otherwise parse as a full timestamp.
+   *
+   * The reference anchors on datetime.now() — non-deterministic and
+   * unreplayable; here the batch anchor is an explicit parameter
+   * (SURVEY.md §7 hard-part 4), so identical inputs give identical outputs
+   * at any time, on any executor.
+   */
+  def relativeDate(c: Column, anchor: Column): Column = {
+    val minutesBack =
+      when(c.contains("刚刚"), lit(0))
+        .when(c.contains("分钟"), regexp_extract(c, "^(\\d+)分钟", 1).cast("int"))
+        .when(c.contains("小时"), regexp_extract(c, "^(\\d+)小时", 1).cast("int") * 60)
+        .when(c.contains("昨天"), lit(1440))
+    when(minutesBack.isNotNull,
+      anchor - call_function("make_dt_interval", lit(0), lit(0), minutesBack, lit(0)))
+      .otherwise(to_timestamp(c, "yyyy-MM-dd HH:mm:ss"))
+  }
+
+  /** X16 — parse-coalesce of dates (service.py:450-457, 477-487): first
+    * format that parses wins; null if none. */
+  def parseCoalesceTs(c: Column): Column =
+    coalesce(
+      try_to_timestamp(c, lit("yyyy-MM-dd'T'HH:mm:ss")),
+      try_to_timestamp(c, lit("yyyy-MM-dd HH:mm:ss")),
+      try_to_timestamp(c, lit("yyyy-MM-dd")))
+
+  /** X2 — comment tag-strip variant (weibo.py:2388-2391): regex tag removal,
+    * newline drop, trim (the cheap non-DOM path). */
+  def stripTags(c: Column): Column =
+    trim(regexp_replace(regexp_replace(c, "<[^<]+?>", ""), "\n", ""))
+
+  /** X10 — since/end normalization (weibo.py:286-331). */
+  def normalizeEnd(c: Column): Column =
+    when(c.rlike("^\\d{4}-\\d{2}-\\d{2}$"), concat(c, lit("T23:59:59"))).otherwise(c)
+  def normalizeSince(c: Column): Column =
+    when(c.rlike("^\\d{4}-\\d{2}-\\d{2}$"), concat(c, lit("T00:00:00"))).otherwise(c)
+}

@@ -18,6 +18,11 @@ object graftbridge {
     spark.asInstanceOf[classic.SparkSession].sessionState.functionRegistry
       .createOrReplaceTempFunction(name, builder, "scala_udf")
 
+  /** Executed (physical) plan rendered as a string — for plan assertions. */
+  def executedPlanString(df: Dataset[Row]): String =
+    df.asInstanceOf[classic.Dataset[Row]].queryExecution
+      .explainString(org.apache.spark.sql.execution.SimpleMode)
+
   /** DataFrame → RDD[InternalRow] (post-optimization physical output). */
   def toInternalRdd(df: Dataset[Row]): org.apache.spark.rdd.RDD[catalyst.InternalRow] =
     df.asInstanceOf[classic.Dataset[Row]].queryExecution.toRdd

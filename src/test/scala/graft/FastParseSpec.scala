@@ -1,0 +1,35 @@
+package graft
+
+import graft.crawl.PagesGen
+import graft.functions.{FastParse, TextExtract}
+import org.scalatest.funsuite.AnyFunSuite
+
+/** FastParse must be byte-identical to the reference-faithful DOM path over
+  * the entire generated corpus and the hand-built golden cases. */
+class FastParseSpec extends AnyFunSuite {
+
+  test("FastParse == TextExtract over the full generated corpus (all branches)") {
+    (0L until 4000L).foreach { i =>
+      val (html, _) = PagesGen.htmlOf(i, 4000L, crossLinks = true, bodyRepeat = (i % 7).toInt)
+      val r = FastParse.parse(html)
+      assert(r.text == TextExtract.extractText(html), s"text diverges at i=$i html=$html")
+      assert(r.outlinks.toSeq == TextExtract.extractOutlinks(html), s"links diverge at i=$i")
+    }
+  }
+
+  test("FastParse golden edge cases") {
+    val cases = Seq(
+      "hello", "a<br>b", "a<span>@user</span>b", "x<span>#t#</span>y<br>z",
+      "  \t", " \n ", "a​b", "a<!-- hidden -->b",
+      "x &amp; y &lt;z&gt; &#64;", "<div>a</div> <div>b</div>",
+      """<a href="https://x.test/p">l</a><a href='/rel'>r</a><a href=https://y.test/q>b</a>""",
+      """<a data-url="https://skip.me" href="https://keep.me/1">t</a>""",
+      """<A HREF="https://upper.case/p">u</A>""",
+      "", "<a>no href</a>", "<area href=\"https://not-anchor.test\">")
+    cases.foreach { html =>
+      val r = FastParse.parse(html)
+      assert(r.text == TextExtract.extractText(html), s"text: [$html]")
+      assert(r.outlinks.toSeq == TextExtract.extractOutlinks(html), s"links: [$html]")
+    }
+  }
+}
