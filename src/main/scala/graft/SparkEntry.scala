@@ -585,6 +585,24 @@ object SparkEntry {
         | CAST(SUM(CASE WHEN s > 0 THEN (1::BIGINT << j) ELSE 0 END) AS BIGINT) AS simhash
         |FROM s GROUP BY doc_id""".stripMargin,
 
+    "q24_simhash_near_dups" ->
+      """WITH w AS (
+        |  SELECT doc_id, substring(md5(u.w), 1, 4) AS h4
+        |  FROM (SELECT doc_id, text FROM documents WHERE doc_id < 1000) d,
+        |   UNNEST(string_split(d.text, ' ')) AS u(w) WHERE u.w <> ''),
+        | bits AS (
+        |  SELECT doc_id, j,
+        |   CASE WHEN (((strpos('0123456789abcdef', substring(h4, (j // 4) + 1, 1)) - 1) >> (j % 4)) & 1) = 1
+        |        THEN 1 ELSE -1 END AS contrib
+        |  FROM w, UNNEST(range(0, 16)) AS r(j)),
+        | s AS (SELECT doc_id, j, SUM(contrib) AS s FROM bits GROUP BY doc_id, j),
+        | sh AS (SELECT doc_id, CAST(SUM(CASE WHEN s > 0 THEN (1::BIGINT << j) ELSE 0 END) AS BIGINT) AS simhash
+        |        FROM s GROUP BY doc_id)
+        |SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+        | CAST(bit_count(xor(a.simhash, b.simhash)) AS BIGINT) AS hamming
+        |FROM sh a JOIN sh b ON a.doc_id < b.doc_id
+        |WHERE bit_count(xor(a.simhash, b.simhash)) <= 3""".stripMargin,
+
     "q30_langid" ->
       """SELECT doc_id,
         | CASE WHEN length(text) = 0 THEN 'unknown'

@@ -362,8 +362,10 @@ class CrawlEngine(
     val processedHashes = parsed.select("url_hash")
       .unionByName(robotsBlocked.select("url_hash")).distinct().persist()
 
+    // processedHashes is bounded by the batch budget — broadcastable, so
+    // the large frontier/seen sides never shuffle for these joins
     val newSeen = seenDf.unionByName(
-        processedHashes
+        broadcast(processedHashes)
           .join(front.select($"url_hash", $"url_canon"), Seq("url_hash"))
           .dropDuplicates("url_hash")
           .withColumn("first_batch", lit(batchId))
@@ -372,7 +374,7 @@ class CrawlEngine(
       .persist() // consumed by the seen write AND two frontier anti-joins
 
     val newFrontier = front
-      .join(processedHashes, Seq("url_hash"), "left_anti")
+      .join(broadcast(processedHashes), Seq("url_hash"), "left_anti")
       .unionByName(
         discovered
           .join(newSeen.select("url_hash"), Seq("url_hash"), "left_anti")

@@ -217,3 +217,35 @@ class CrawlSpec extends AnyFunSuite {
     assert(led.last.getAs[Long]("seen_size") == eng.seen().count())
   }
 }
+
+/** robots.txt parsing (north rule gating input). */
+class RobotsSpec extends org.scalatest.funsuite.AnyFunSuite {
+  import graft.crawl.Robots
+  val txt =
+    """# comment
+      |User-agent: *
+      |Disallow: /private/
+      |Disallow: /tmp
+      |Disallow:
+      |
+      |User-agent: graftbot
+      |User-agent: otherbot
+      |Disallow: /graft-only/
+      |
+      |User-agent: evilbot
+      |Disallow: /
+      |""".stripMargin
+
+  test("wildcard group rules extracted; empty disallow dropped") {
+    assert(Robots.disallowPrefixes(txt) == Seq("/private/", "/tmp"))
+  }
+  test("named agent gets its group (multi-agent group) plus nothing from others") {
+    assert(Robots.disallowPrefixes(txt, "graftbot") == Seq("/private/", "/tmp", "/graft-only/"))
+    assert(Robots.disallowPrefixes(txt, "otherbot") == Seq("/private/", "/tmp", "/graft-only/"))
+    assert(Robots.disallowPrefixes(txt, "evilbot") == Seq("/private/", "/tmp", "/"))
+  }
+  test("toRules builds engine gating rows") {
+    assert(Robots.toRules(Seq(("h0.example.test", "User-agent: *\nDisallow: /u/"))) ==
+      Seq(("h0.example.test", "/u/")))
+  }
+}
