@@ -311,6 +311,10 @@ class CrawlEngine(
       sum(when($"in_range", 1L).otherwise(0L)).as("in_range"),
       sum(when(!$"invariant_ok", 1L).otherwise(0L)).as("viol"),
       countDistinct($"partition_id").as("nparts")).collect()(0))
+    if (sys.env.contains("GRAFT_EXPLAIN")) {
+      println(s"==== batch $batchId: fetch+parse physical plan ====")
+      println(org.apache.spark.sql.graftbridge.executedPlanString(parsed))
+    }
     val schedCount = mrow.getLong(0)
     val notFound = mrow.getLong(1)
     val inRange = mrow.getLong(2)

@@ -249,3 +249,59 @@ class RobotsSpec extends org.scalatest.funsuite.AnyFunSuite {
       Seq(("h0.example.test", "/u/")))
   }
 }
+
+/** Crash-resilience + skew-path determinism. */
+class CrawlResilienceSpec extends org.scalatest.funsuite.AnyFunSuite {
+  lazy val spark = SparkTestSession.spark
+  import graft.crawl._
+  import spark.implicits._
+
+  private def tmp(): String = java.nio.file.Files.createTempDirectory("graft_res").toString
+  val N = 512L
+  lazy val pagesDF = PagesGen.pages(spark, N, partitions = 4).toDF
+  def seeds(k: Int) = PagesGen.seedRows(N, k).map(Seed.tupled)
+
+  test("orphan uncommitted version from a crashed batch is invisible and overwritten on retry") {
+    val dir = tmp()
+    val cfg = CrawlConfig(defaultHostBudget = 3, shufflePartitions = 4)
+    val eng = new CrawlEngine(spark, pagesDF, dir, cfg)
+    eng.initialize(seeds(4)); eng.run(1)
+    // simulate a crash mid-batch-1: partial garbage at v=1, pointer still 0
+    val garbage = eng.frontier().limit(1)
+    eng.store.write("frontier", 1L, garbage)
+    eng.store.appendLog("fetched", 1L, eng.fetched().get.limit(1))
+    assert(eng.store.committedBatch == 0L)
+    // reader sees only committed state
+    assert(eng.frontier().count() > 1)
+    // retry (fresh engine = fresh process) overwrites the orphans exactly
+    val eng2 = new CrawlEngine(spark, pagesDF, dir, cfg)
+    eng2.run(1)
+    assert(eng2.store.committedBatch == 1L)
+    // reference run without the crash must match
+    val dirB = tmp()
+    val ref = new CrawlEngine(spark, pagesDF, dirB, cfg)
+    ref.initialize(seeds(4)); ref.run(2)
+    def k(e: CrawlEngine) = e.seen().select("url_hash").collect().map(_.getLong(0)).sorted.toSeq
+    assert(k(eng2) == k(ref))
+    def f(e: CrawlEngine) = e.fetched().get.select("url_hash", "batch_id")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).sorted.toSeq
+    assert(f(eng2) == f(ref), "retry after crash diverges from clean run")
+  }
+
+  test("sharded ranking (mega-host skew path): deterministic, budget-split per shard") {
+    val cfg = CrawlConfig(defaultHostBudget = 8, saltBuckets = 4,
+      shufflePartitions = 4, shardedRanking = true)
+    val e1 = new CrawlEngine(spark, pagesDF, tmp(), cfg)
+    val e2 = new CrawlEngine(spark, pagesDF, tmp(), cfg.copy(shufflePartitions = 7))
+    e1.initialize(seeds(6)); e1.run(3)
+    e2.initialize(seeds(6)); e2.run(3)
+    def k(e: CrawlEngine) = e.seen().select("url_hash").collect().map(_.getLong(0)).sorted.toSeq
+    assert(k(e1) == k(e2), "sharded ranking not partitioning-deterministic")
+    // per (host, salt-shard) budget = ceil(8/4) = 2
+    val over = e1.fetched().get
+      .withColumn("shard", pmod(col("url_hash"), lit(4)))
+      .groupBy("host", "shard", "batch_id").count()
+      .filter(col("count") > 2).count()
+    assert(over == 0, "per-shard budget exceeded")
+  }
+}
