@@ -120,6 +120,7 @@ object Bench {
     // ---- phase 2: generate shared corpus (once), crawl at the session's
     // parallelism — this IS the 4N (32-core) scaling data point
     corpus(spark, benchPages, bodyRepeat).count()
+    corpus(spark, 200000, 250).count() // PROBE3 corpus — generate once at full width
     val (fetchedC, dtC) = crawlBench(spark, benchPages, cpus, batches = 2, bodyRepeat)
     spark.stop()
 

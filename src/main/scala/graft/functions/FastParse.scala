@@ -74,7 +74,7 @@ object FastParse {
           val end = html.indexOf('>', lt + 1)
           i = if (end < 0) n else end + 1
         } else {
-          val gt = html.indexOf('>', lt + 1)
+          val gt = HtmlDom.tagEnd(html, lt + 1)
           if (gt < 0) i = n
           else {
             // anchor href extraction without building attribute maps

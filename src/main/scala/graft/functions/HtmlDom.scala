@@ -74,6 +74,25 @@ object HtmlDom {
     "amp" -> "&", "lt" -> "<", "gt" -> ">", "quot" -> "\"",
     "apos" -> "'", "nbsp" -> " ")
 
+  /** Find the index of the tag-closing '>' starting at `from` (the char
+    * after '<'), skipping over single/double-quoted attribute values —
+    * `<a href="x>y">` closes at the final '>', as lxml parses it. -1 if
+    * unterminated. */
+  def tagEnd(s: String, from: Int): Int = {
+    var i = from
+    val n = s.length
+    while (i < n) {
+      val c = s.charAt(i)
+      if (c == '>') return i
+      if (c == '"' || c == '\'') {
+        val close = s.indexOf(c, i + 1)
+        if (close < 0) return -1
+        i = close + 1
+      } else i += 1
+    }
+    -1
+  }
+
   /** Decode character references ( &amp; &#64; &#x40; ). Unknown refs pass through verbatim. */
   def decodeEntities(s: String): String = {
     if (s.indexOf('&') < 0) return s
@@ -125,7 +144,7 @@ object HtmlDom {
           val end = html.indexOf('>', lt + 1)
           i = if (end < 0) n else end + 1
         } else {
-          val gt = html.indexOf('>', lt + 1)
+          val gt = tagEnd(html, lt + 1)
           if (gt < 0) { // stray '<' at EOF: lxml treats as text loss; we drop it
             i = n
           } else {

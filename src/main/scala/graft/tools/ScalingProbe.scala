@@ -35,7 +35,7 @@ object ScalingProbe {
 
     // parse compute alone: realistic 30KB pages, memory-resident input
     // (no disk, no shuffle) — the per-core parser scaling ceiling
-    val n3 = 400000L
+    val n3 = 200000L
     val big = graft.Bench.corpus(s, n3, 250).select($"html")
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_ONLY)
     big.count()

@@ -33,3 +33,14 @@ class FastParseSpec extends AnyFunSuite {
     }
   }
 }
+
+/** quoted '>' inside attribute values must not end the tag (lxml behavior). */
+class QuotedAttrSpec extends AnyFunSuite {
+  test("tag end scan skips quoted '>'") {
+    val html = """a<a href="https://x.test/q?a>b" title='p>q'>link</a>c"""
+    assert(TextExtract.extractText(html) == "a\nlink\nc")
+    assert(FastParse.parse(html).text == "a\nlink\nc")
+    assert(FastParse.parse(html).outlinks.toSeq == Seq("https://x.test/q?a>b"))
+    assert(TextExtract.extractOutlinks(html) == Seq("https://x.test/q?a>b"))
+  }
+}
