@@ -101,7 +101,7 @@ class CrawlEngine(
     if (seenSizeCache < 0) {
       seenSizeCache = ledger(committed) match {
         case Some(l) if committed >= 0 =>
-          val rows = l.filter($"state" === "SUCCESS").orderBy($"batch_id".desc)
+          val rows = l.filter($"state".isin("SUCCESS", "ROTATED")).orderBy($"batch_id".desc)
             .select("seen_size").limit(1).collect()
           if (rows.nonEmpty) rows(0).getLong(0) else seen(committed).count()
         case _ => if (committed >= 0) seen(committed).count() else 0L
@@ -131,8 +131,10 @@ class CrawlEngine(
       .withColumn("discovered_batch", lit(-1L))
       .select(emptyFrontier.columns.map(col): _*)
 
-  def initialize(seeds: Seq[Seed]): Unit =
+  def initialize(seeds: Seq[Seed]): Unit = {
+    store.write("seeds", -1L, seeds.toDF("seed_id", "root_url", "since_ts", "end_ts"))
     initializeWithFrontier(frontierFromSeeds(seeds))
+  }
 
   /** Preload an arbitrary frontier (bench path: the 10^10-URL-frontier model
     * is "frontier already full", not "grown from 8 seeds"). */
@@ -293,7 +295,12 @@ class CrawlEngine(
       // pair of expressions parses the page twice and doubles allocation)
       .withColumn("_p", when($"found", gf.extract_parsed($"html")))
       .withColumn("text_extracted", $"_p.text")
-      .withColumn("outlinks", when($"in_range", $"_p.outlinks").otherwise(array()))
+      // expansion rule (weibo.py:1700-1718 vs 1764-1786): a page NEWER than
+      // the window is skipped for emission but paging continues through it;
+      // only pages OLDER than since stop the walk. So outlinks expand for
+      // every found page with warc_ts >= since_ts.
+      .withColumn("outlinks",
+        when($"found" && $"warc_ts" >= $"since_ts", $"_p.outlinks").otherwise(array()))
       .withColumn("invariant_ok", !($"found" && !($"text_extracted" <=> $"text")))
       .withColumn("batch_id", lit(batchId))
       .withColumn("partition_id", spark_partition_id())
@@ -328,13 +335,20 @@ class CrawlEngine(
       size($"outlinks").as("n_outlinks"),
       $"batch_id", $"partition_id", $"fetch_ordinal", $"sched_delay_ms")
 
+    // too-new pages: attempted this run, emitted next window after rotation
+    val deferredOut = parsed.filter($"found" && $"warc_ts" > $"end_ts")
+      .select($"url_canon", $"url_hash", $"host", $"seed_id", $"depth",
+        $"warc_ts", $"since_ts", $"end_ts", $"batch_id")
+
     lazy val errorsOut = parsed.filter(!$"found").select(
       $"url_canon", $"url_hash", $"host", $"seed_id", $"depth",
       lit("NOT_FOUND").as("error"), $"batch_id", $"partition_id")
 
     // ---- U5: outlink expansion → next frontier entries. Children inherit
     // the seed window; priority = linking page's warc_ts (recency prior).
-    val discovered = parsed.filter($"in_range")
+    // expansion source: every page whose outlinks were extracted (found and
+    // not older than since — includes too-new deferred pages, weibo.py:1700-1718)
+    val discovered = parsed.filter(size($"outlinks") > 0)
       .select($"seed_id", $"since_ts", $"end_ts", $"depth", $"warc_ts",
         explode($"outlinks").as("url"))
       .withColumn("url_canon", gf.canonicalize_url($"url"))
@@ -389,6 +403,7 @@ class CrawlEngine(
     timed("write_seen")(store.write("seen", batchId, newSeen))
     timed("write_fetched")(store.appendLog("fetched", batchId, fetchedOut))
     if (notFound > 0) store.appendLog("errors", batchId, errorsOut)
+    store.appendLog("deferred", batchId, deferredOut)
 
     val frontierSize = timed("frontier_count")(frontier(batchId).count()) // metadata-only read-back
     // arithmetic |seen| update: scheduled + blocked are frontier-unique and
@@ -415,6 +430,77 @@ class CrawlEngine(
     if (!cfg.robotsDisallow.isEmpty) robotsBlocked.unpersist()
     metrics
   }
+
+  private def ledgerRow(batchId: Long, state: String, seenSizeNow: Long,
+      candidates: Long = -1, scheduled: Long = -1, fetchedN: Long = -1,
+      notFound: Long = -1, robotsBlocked: Long = -1, violations: Long = -1,
+      frontierSize: Long = -1, nPartitions: Long = -1): DataFrame =
+    Seq((batchId, state, candidates, scheduled, fetchedN, notFound,
+      robotsBlocked, violations, frontierSize, seenSizeNow, nPartitions))
+      .toDF("batch_id", "state", "candidates", "scheduled", "fetched", "not_found",
+        "robots_blocked", "invariant_violations", "frontier_size", "seen_size", "partitions_used")
+
+  /**
+   * Cursor rotation — the reference's per-seed window advance after every
+   * run: `since_date := run start; end_date := now`
+   * (/root/reference/weibo.py:2814-2817, rotated again before each scheduled
+   * child run service.py:1384-1398). Semantics for the incremental re-crawl:
+   *
+   *  1. every seed's window becomes [old end, newEnd] (seeds table MERGE);
+   *  2. seed roots re-enter the frontier with the new window;
+   *  3. pages that were traversed but DEFERRED as too-new (warc_ts > old end)
+   *     are forgotten from the seen set, so the next run emits them — the
+   *     analog of the reference re-walking the newest pages each run while
+   *     the append-mode cutoff (F7) keeps already-emitted items unique.
+   *
+   * Runs at a batch boundary and commits as its own versioned state change
+   * (ledger state = ROTATED), so kill/resume semantics are identical to a
+   * normal batch.
+   */
+  def rotateWindows(newEnd: java.sql.Timestamp): Unit = {
+    val committed = store.committedBatch
+    val batchId = committed + 1
+    val seedsDf = store.read("seeds", committedSeedsVersion(committed),
+      sys.error("rotateWindows requires initialize(seeds) state"))
+    val rotated = seedsDf
+      .withColumn("since_ts", $"end_ts")
+      .withColumn("end_ts", lit(newEnd))
+    val roots = frontierFromSeeds2(rotated)
+    val deferred = store.readLog("deferred", committed)
+      .map(_.select("url_hash").distinct()).getOrElse(emptySeen.select("url_hash"))
+    val forget = roots.select("url_hash").unionByName(deferred).distinct()
+    val newSeen = seen(committed).join(forget, Seq("url_hash"), "left_anti")
+    val newFrontier = frontier(committed)
+      .join(broadcast(roots.select("url_hash")), Seq("url_hash"), "left_anti")
+      .unionByName(roots)
+    store.write("seeds", batchId, rotated)
+    store.write("frontier", batchId, newFrontier)
+    store.write("seen", batchId, newSeen)
+    val seenNow = seen(batchId).count()
+    store.appendLog("ledger", batchId, ledgerRow(batchId, "ROTATED", seenNow))
+    store.commit(batchId)
+    seenSizeCache = seenNow
+  }
+
+  /** latest committed version at which a seeds table exists (seeds are only
+    * rewritten on rotation). */
+  private def committedSeedsVersion(committed: Long): Long = {
+    var v = committed
+    while (v >= -1 && !store.exists("seeds", v)) v -= 1
+    v
+  }
+
+  /** frontier rows from a seeds DataFrame (same shape as frontierFromSeeds). */
+  private def frontierFromSeeds2(seedsDf: DataFrame): DataFrame =
+    seedsDf
+      .withColumn("url", $"root_url")
+      .withColumn("url_canon", gf.canonicalize_url($"url"))
+      .withColumn("url_hash", xxhash64($"url_canon"))
+      .withColumn("host", gf.url_host($"url_canon"))
+      .withColumn("depth", lit(0))
+      .withColumn("priority_ts", $"end_ts")
+      .withColumn("discovered_batch", lit(-1L))
+      .select(emptyFrontier.columns.map(col): _*)
 
   /** Post-run materialized summary (S17 analog: the reference pre-builds
     * task/schedule result caches after each run, service.py:580-964,
@@ -472,7 +558,7 @@ class CrawlEngine(
     while (i < maxBatches && continue) {
       if (stopRequested) {
         store.appendLog("ledger", store.committedBatch + 1,
-          Seq((store.committedBatch + 1, "STOPPED")).toDF("batch_id", "state"))
+          ledgerRow(store.committedBatch + 1, "STOPPED", seenSize(store.committedBatch)))
         continue = false
       } else if (frontier().isEmpty) {
         continue = false

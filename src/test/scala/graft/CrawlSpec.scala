@@ -305,3 +305,55 @@ class CrawlResilienceSpec extends org.scalatest.funsuite.AnyFunSuite {
     assert(over == 0, "per-shard budget exceeded")
   }
 }
+
+/** M3 — cursor rotation (since := end, end := now; weibo.py:2814-2817) with
+  * deferred too-new pages emitted exactly once in the next window. */
+class RotationSpec extends org.scalatest.funsuite.AnyFunSuite {
+  lazy val spark = SparkTestSession.spark
+  import graft.crawl._
+  import spark.implicits._
+
+  test("two-window incremental crawl covers the full range exactly once") {
+    val N = 128L // 8 seeds × 16 posts; the paging chain advances one post per batch
+    val pages = PagesGen.pages(spark, N, 4, crossLinks = false).toDF
+    val base = PagesGen.BaseTsMillis
+    val endA = new java.sql.Timestamp(base - 8L * 3600_000L)
+    val sinceA = new java.sql.Timestamp(base - 200L * 3600_000L)
+    // seed 1 is excluded: its post 5 is the whitespace-only fixture page
+    // (index 41), which legitimately has no outlinks and ends that timeline
+    val seedIds = Seq(0L, 2L, 3L)
+    val seeds = seedIds.map(sid =>
+      Seed(s"seed$sid", PagesGen.urlOf(sid, 0, N), sinceA, endA))
+    val dir = java.nio.file.Files.createTempDirectory("graft_rot").toString
+    val eng = new CrawlEngine(spark, pages, dir,
+      CrawlConfig(defaultHostBudget = 8, maxDepth = 32, shufflePartitions = 4))
+    eng.initialize(seeds)
+    eng.run(20) // drain window A (16-deep chains)
+    val postOf = (df: org.apache.spark.sql.DataFrame) => df
+      .withColumn("post", regexp_extract($"url_canon", "/p/(\\d+)$", 1).cast("long"))
+      .select($"seed_id", $"post").collect()
+      .map(r => (r.getString(0), r.getLong(1))).toSet
+    val a = postOf(eng.fetched().get)
+    // window A emits only posts 8.. (older than endA); newest are deferred
+    assert(a.nonEmpty && a.forall(_._2 >= 8), s"window A leaked too-new posts: ${a.filter(_._2 < 8)}")
+
+    eng.rotateWindows(new java.sql.Timestamp(base))
+    eng.run(20) // drain window B
+    val all = postOf(eng.fetched().get)
+    val b = all -- a
+    // window B emits exactly the deferred newest posts 0..7 per seed
+    assert(b.nonEmpty && b.forall(_._2 < 8), s"window B out of range: ${b.filter(_._2 >= 8)}")
+    seedIds.foreach { sid =>
+      val posts = all.filter(_._1 == s"seed$sid").map(_._2)
+      assert(posts == (0L until 16L).toSet, s"seed$sid incomplete: ${posts.toSeq.sorted}")
+    }
+    // no url emitted twice across the two windows
+    val dupes = eng.fetched().get.groupBy("url_hash").count().filter($"count" > 1).count()
+    assert(dupes == 0)
+    // resume still works across the rotation boundary
+    val eng2 = new CrawlEngine(spark, pages, dir,
+      CrawlConfig(defaultHostBudget = 8, maxDepth = 32, shufflePartitions = 4))
+    assert(eng2.store.committedBatch == eng.store.committedBatch)
+    assert(eng2.run(2).isEmpty || eng2.fetched().get.groupBy("url_hash").count().filter($"count" > 1).count() == 0)
+  }
+}
