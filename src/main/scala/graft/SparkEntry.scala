@@ -289,6 +289,12 @@ object SparkEntry {
       Similarity.lshTopK(emb.filter(col("vec_id") < 10), emb, k = 5, bits = 8, dims = 64)
     }),
 
+    "q27_ann_ivf_topk" -> ((s, dir) => {
+      val emb = t(s, dir, "embeddings")
+      Similarity.ivfTopK(emb.filter(col("vec_id") < 10), emb, k = 5,
+        nCentroids = 16, nprobe = 4)
+    }),
+
     // ---- training-data pipeline: text analysis -----------------------------
     "q30_langid" -> ((s, dir) =>
       t(s, dir, "documents")

@@ -78,6 +78,66 @@ object Similarity {
   }
 
   /**
+   * IVF (inverted-file) ANN — the centroid-bucketed scale path: every vector
+   * is assigned to its nearest centroid (one pass, broadcast centroids);
+   * a query exactly re-ranks only the vectors in its `nprobe` closest
+   * centroid cells. At corpus scale the assignment is a write-once partition
+   * column (cluster-pruned scans); recall is tuned by k × nprobe.
+   *
+   * Centroids here are deterministically sampled corpus vectors (seeded
+   * stride) — a k-means refinement would only move the centroid literals,
+   * the plan shape (broadcast assign → cell equality join → re-rank) is
+   * identical.
+   */
+  def ivfAssign(df: DataFrame, centroids: Seq[(Long, Seq[Double])],
+      idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
+    val scored = centroids.map { case (cid, cvec) =>
+      struct(round(cosine(asDouble(col(vecCol)), array(cvec.map(lit): _*)), 9).as("score"),
+        lit(cid).as("cid"))
+    }
+    df.withColumn("cell", greatest(scored: _*).getField("cid"))
+  }
+
+  /** Deterministic centroid sample: every (n/k)-th vector by id order. */
+  def sampleCentroids(corpus: DataFrame, k: Int,
+      idCol: String = "vec_id", vecCol: String = "embedding"): Seq[(Long, Seq[Double])] = {
+    val n = corpus.count()
+    val stride = math.max(1L, n / k)
+    corpus.select(col(idCol), asDouble(col(vecCol)).as("v"))
+      .filter(pmod(col(idCol), lit(stride)) === 0)
+      .orderBy(col(idCol)).limit(k)
+      .collect()
+      .map(r => (r.getLong(0), r.getSeq[Double](1).toSeq)).toSeq
+  }
+
+  /** IVF top-k: probe the query's `nprobe` nearest cells, exact re-rank inside. */
+  def ivfTopK(queries: DataFrame, corpus: DataFrame, k: Int,
+      nCentroids: Int = 16, nprobe: Int = 4,
+      idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
+    val centroids = sampleCentroids(corpus, nCentroids, idCol, vecCol)
+    val cells = ivfAssign(corpus, centroids, idCol, vecCol)
+      .select(col(idCol).as("neighbor_id"), asDouble(col(vecCol)).as("cv"), col("cell"))
+    // query → its nprobe nearest cells (computed per query row, exploded)
+    val probes = centroids.map { case (cid, cvec) =>
+      struct(round(cosine(asDouble(col(vecCol)), array(cvec.map(lit): _*)), 9).as("score"),
+        lit(cid).as("cid"))
+    }
+    val qcells = queries
+      .select(col(idCol).as("query_id"), asDouble(col(vecCol)).as("qv"),
+        slice(reverse(array_sort(array(probes: _*))), 1, nprobe).as("probe_cells"))
+      .withColumn("cell", explode(col("probe_cells").getField("cid")))
+      .drop("probe_cells")
+    broadcast(qcells).join(cells, Seq("cell"))
+      .filter(col("query_id") =!= col("neighbor_id"))
+      .withColumn("cos_r", round(cosine(col("qv"), col("cv")), 6))
+      .withColumn("rk", row_number().over(
+        Window.partitionBy(col("query_id"))
+          .orderBy(col("cos_r").desc, col("neighbor_id").asc)).cast("long"))
+      .filter(col("rk") <= k)
+      .select(col("query_id"), col("neighbor_id"), col("rk"), col("cos_r"))
+  }
+
+  /**
    * LSH-bucketed ANN: exact re-rank within matching-signature buckets.
    * Probes the query's own bucket (multi-probe/banding would raise recall;
    * this returns a candidate top-k with the same output shape as

@@ -194,3 +194,24 @@ class PipelineSpec extends AnyFunSuite {
     assert(page3 == (21L to 30L))
   }
 }
+
+/** IVF ANN: candidate quality vs the exact baseline. */
+class IvfSpec extends org.scalatest.funsuite.AnyFunSuite {
+  lazy val spark = SparkTestSession.spark
+  import graft.pipeline.Similarity
+
+  test("IVF top-k achieves high recall vs brute force on real embeddings") {
+    val emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    val q = emb.filter(org.apache.spark.sql.functions.col("vec_id") < 10)
+    def pairs(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val exact = pairs(Similarity.bruteForceTopK(q, emb, k = 5))
+    val ivf = pairs(Similarity.ivfTopK(q, emb, k = 5, nCentroids = 16, nprobe = 8))
+    val recall = (exact intersect ivf).size.toDouble / exact.size
+    assert(exact.size == 50)
+    assert(recall >= 0.5, s"IVF recall too low: $recall") // nprobe=8 of 16 cells
+    // identical-direction sanity: the exact nearest is found when probed
+    val ivfFull = pairs(Similarity.ivfTopK(q, emb, k = 5, nCentroids = 16, nprobe = 16))
+    assert(ivfFull == exact, "probing all cells must equal brute force")
+  }
+}
