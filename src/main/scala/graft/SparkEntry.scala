@@ -3,7 +3,7 @@ package graft
 import graft.crawl.{CrawlConfig, CrawlEngine, PagesGen, Seed}
 import graft.functions.gf
 import graft.operators.QueryPack
-import graft.pipeline.{Dedup, Multimodal, Similarity, TextAnalysis}
+import graft.pipeline.{Dedup, Enrich, Multimodal, Similarity, TextAnalysis}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.{DataFrame, SparkSession}
@@ -119,6 +119,17 @@ object SparkEntry {
       QueryPack.paginate(t(s, dir, "orders"),
           Seq(col("o_orderdate").desc, col("o_orderkey").asc), page = 3, pageSize = 10)
         .select(col("o_orderkey"), col("o_orderdate"))
+    }),
+
+    "q44_keyset_page" -> ((s, dir) => {
+      // W5 at scale: keyset pagination — O(pageSize) regardless of depth
+      val cursorTs = lit(java.sql.Timestamp.valueOf("2024-01-15 00:00:00"))
+      val cursorId = lit(5000L)
+      QueryPack.pageAfter(t(s, dir, "events"),
+          Seq(col("ts").desc, col("event_id").asc),
+          col("ts") < cursorTs || (col("ts") === cursorTs && col("event_id") > cursorId),
+          pageSize = 10)
+        .select(col("event_id"), col("user_id"))
     }),
 
     "q11_latest_event_per_user" -> ((s, dir) => {
@@ -246,9 +257,12 @@ object SparkEntry {
     "q41_seen_pair_antijoin" -> ((s, dir) => {
       // F2 seen-set semantics over events: "seen" = (user, type) pairs in the
       // first 1% of the stream; emit later events with never-seen pairs.
+      // The threshold is a broadcast scalar INSIDE the plan (one pass), not a
+      // driver-side count() action per invocation.
       val ev = t(s, dir, "events")
-      val total = ev.count()
-      val seen = ev.filter(col("event_id") * 100 < total)
+      val total = ev.agg(count(lit(1)).as("_total"))
+      val seen = ev.crossJoin(broadcast(total))
+        .filter(col("event_id") * 100 < col("_total"))
         .select("user_id", "event_type").distinct()
       ev.join(seen, Seq("user_id", "event_type"), "left_anti")
         .select(col("event_id"), col("user_id"), col("event_type"))
@@ -265,6 +279,10 @@ object SparkEntry {
     // ---- training-data pipeline: dedup -------------------------------------
     "q20_dedup_exact" -> ((s, dir) =>
       Dedup.exact(t(s, dir, "documents"))),
+
+    "q28_dedup_exact_hash" -> ((s, dir) =>
+      // scale variant: shuffle carries xxhash64(text), not the document body
+      Dedup.exactByHash(t(s, dir, "documents"))),
 
     "q21_jaccard_pairs" -> ((s, dir) =>
       Dedup.jaccardPairs(t(s, dir, "documents").filter(col("doc_id") < 300), threshold10 = 6)),
@@ -324,6 +342,112 @@ object SparkEntry {
       val media = Multimodal.synthMedia(s, t(s, dir, "part"), "p_partkey")
       Multimodal.extractFeatures(media).toDF
         .select(col("media_id"), col("kind"), col("sniffed_ext"), col("byte_len"))
+    }),
+
+    // ---- U2: per-row LLM enrichment (batched partition-local client) -------
+    "q36_llm_enrich" -> ((s, dir) =>
+      Enrich.enrichDf(t(s, dir, "documents"))
+        .select(col("doc_id"),
+          col("llm_analysis.sentiment").as("sentiment"),
+          col("llm_analysis.summary").as("summary"),
+          col("llm_analysis.anomaly").cast("int").as("anomaly"))),
+
+    // ---- §1.1 nested retweet flatten / normalize ----------------------------
+    "q37_retweet_flatten" -> ((s, dir) => {
+      val base = t(s, dir, "documents").select(col("doc_id"), col("text"))
+      val nested = base.withColumn("retweet",
+        when(pmod(col("doc_id"), lit(3)) === 0,
+          struct((col("doc_id") + 100000L).as("doc_id"),
+            concat(lit("RT "), col("text")).as("text"))))
+      QueryPack.flattenStruct(nested, "retweet", "retweet_")
+        .select(col("doc_id"), col("text"), col("retweet_doc_id"),
+          col("retweet_text"), col("is_original").cast("int").as("is_original"))
+    }),
+
+    "q38_retweet_normalize" -> ((s, dir) => {
+      val base = t(s, dir, "documents").select(col("doc_id"), col("text"))
+      val nested = base.withColumn("retweet",
+        when(pmod(col("doc_id"), lit(3)) === 0,
+          struct((col("doc_id") + 100000L).as("doc_id"),
+            concat(lit("RT "), col("text")).as("text"))))
+      QueryPack.normalizeNested(nested, "retweet", "doc_id")
+        .select(col("doc_id"), col("text"), col("retweet_id"))
+    }),
+
+    // ---- X16: raw weibo comment created_at locale format --------------------
+    "q39_weibo_created_at" -> ((s, dir) => {
+      t(s, dir, "events")
+        .withColumn("raw", concat(date_format(col("ts"), "EEE MMM dd HH:mm:ss"),
+          lit(" +0800 "), date_format(col("ts"), "yyyy")))
+        .withColumn("parsed_epoch",
+          unix_timestamp(graft.functions.ScalarOps.parseWeiboCreatedAt(col("raw"))))
+        .select(col("event_id"), col("raw"), col("parsed_epoch"))
+    }),
+
+    // ---- X3-X6/X11/X14/X17 structural extractors, oracle-gated over
+    // deterministically synthesized weibo-ish markup ---------------------------
+    "q53_topics" -> ((s, dir) => {
+      t(s, dir, "documents").withColumn("html", concat(
+          lit("<span class=\"surl-text\">#t"), pmod(col("doc_id"), lit(50)).cast("string"), lit("#</span>"),
+          when(pmod(col("doc_id"), lit(5)) === 0,
+            concat(lit("<span class=\"surl-text\">#x"), pmod(col("doc_id"), lit(7)).cast("string"), lit("#</span>")))
+            .otherwise(lit("")),
+          when(pmod(col("doc_id"), lit(7)) === 0, lit("<span class=\"surl-text\">not a topic</span>"))
+            .otherwise(lit("")),
+          lit("<b>tail</b>")))
+        .select(col("doc_id"), concat_ws(",", gf.extract_topics(col("html"))).as("topics"))
+    }),
+
+    "q54_at_users" -> ((s, dir) => {
+      t(s, dir, "documents").withColumn("html", concat(
+          lit("<a href=\"/n/user"), pmod(col("doc_id"), lit(30)).cast("string"),
+          lit("\">@user"), pmod(col("doc_id"), lit(30)).cast("string"), lit("</a>"),
+          // anchor whose text does not equal '@'+href[3:] must be ignored
+          when(pmod(col("doc_id"), lit(4)) === 0, lit("<a href=\"/n/alice\">@bob</a>"))
+            .otherwise(lit("")),
+          lit(" tail")))
+        .select(col("doc_id"), concat_ws(",", gf.extract_at_users(col("html"))).as("at_users"))
+    }),
+
+    "q55_article_url" -> ((s, dir) => {
+      t(s, dir, "documents").withColumn("html",
+          when(pmod(col("doc_id"), lit(3)) === 0,
+            concat(lit("发布了头条文章<a data-url=\"http://t.cn/A"), col("doc_id").cast("string"), lit("\">l</a>")))
+            .otherwise(concat(lit("<b>"), col("text"), lit("</b>"))))
+        .select(col("doc_id"), gf.extract_article_url(col("html")).as("article_url"))
+    }),
+
+    "q56_truncation_hint" -> ((s, dir) => {
+      t(s, dir, "documents").withColumn("raw", concat(col("text"),
+          when(pmod(col("doc_id"), lit(3)) === 0, lit("...全文"))
+            .when(pmod(col("doc_id"), lit(3)) === 1, lit(">全部<"))
+            .otherwise(lit(""))))
+        .select(col("doc_id"), gf.truncation_hint(col("raw")).cast("int").as("truncated"))
+    }),
+
+    "q57_repost_clean" -> ((s, dir) => {
+      t(s, dir, "documents").withColumn("raw",
+          when(pmod(col("doc_id"), lit(4)) === 0, lit(""))
+            .when(pmod(col("doc_id"), lit(4)) === 1, lit("Repost"))
+            .when(pmod(col("doc_id"), lit(4)) === 2,
+              concat(lit("head"), col("doc_id").cast("string"), lit("//"), col("text")))
+            .otherwise(col("text")))
+        .select(col("doc_id"), gf.clean_repost_text(col("raw")).as("cleaned"))
+    }),
+
+    "q58_safe_filename" -> ((s, dir) => {
+      t(s, dir, "documents")
+        .withColumn("raw", concat(lit("a/b:c*"), col("text"), lit("?d\"e<f>g|")))
+        .select(col("doc_id"), gf.safe_filename(col("raw")).as("fname"))
+    }),
+
+    "q59_location" -> ((s, dir) => {
+      t(s, dir, "documents").withColumn("html",
+          when(pmod(col("doc_id"), lit(2)) === 0, concat(
+            lit("<span><img src=\"https://h.example.test/timeline_card_small_location_default.png\"></span><span>city"),
+            pmod(col("doc_id"), lit(9)).cast("string"), lit("</span>")))
+            .otherwise(concat(lit("<span>nope</span><span>"), col("text"), lit("</span>"))))
+        .select(col("doc_id"), gf.extract_location(col("html")).as("location"))
     }),
 
     // ---- structured streaming (windowed agg over event-time) ---------------
@@ -669,11 +793,89 @@ object SparkEntry {
         | WHERE q.vec_id < 10 AND c.vec_id <> q.vec_id) t
         |WHERE rk <= 5""".stripMargin,
 
+    "q44_keyset_page" ->
+      """SELECT event_id, user_id FROM events
+        |WHERE ts < TIMESTAMP '2024-01-15 00:00:00'
+        |   OR (ts = TIMESTAMP '2024-01-15 00:00:00' AND event_id > 5000)
+        |ORDER BY ts DESC, event_id LIMIT 10""".stripMargin,
+
+    "q28_dedup_exact_hash" ->
+      """SELECT MIN(doc_id) AS keeper_id, COUNT(*) AS dup_count
+        |FROM documents GROUP BY text""".stripMargin,
+
+    "q36_llm_enrich" ->
+      """WITH w AS (SELECT doc_id, list_filter(string_split(text, ' '), x -> x <> '') AS ws FROM documents)
+        |SELECT doc_id,
+        | CASE len(ws) % 3 WHEN 0 THEN 'positive' WHEN 1 THEN 'neutral' ELSE 'negative' END AS sentiment,
+        | array_to_string(ws[1:8], ' ') AS summary,
+        | CAST(CASE WHEN len(ws) < 5 OR len(ws) > 100 THEN 1 ELSE 0 END AS INT) AS anomaly
+        |FROM w""".stripMargin,
+
+    "q37_retweet_flatten" ->
+      """SELECT doc_id, text,
+        | CASE WHEN doc_id % 3 = 0 THEN doc_id + 100000 END AS retweet_doc_id,
+        | CASE WHEN doc_id % 3 = 0 THEN 'RT ' || text END AS retweet_text,
+        | CAST(CASE WHEN doc_id % 3 = 0 THEN 0 ELSE 1 END AS INT) AS is_original
+        |FROM documents""".stripMargin,
+
+    "q38_retweet_normalize" ->
+      """SELECT doc_id, text,
+        | CASE WHEN doc_id % 3 = 0 THEN doc_id + 100000 END AS retweet_id
+        |FROM documents
+        |UNION ALL
+        |SELECT doc_id + 100000 AS doc_id, 'RT ' || text AS text, NULL AS retweet_id
+        |FROM documents WHERE doc_id % 3 = 0""".stripMargin,
+
+    "q39_weibo_created_at" ->
+      """SELECT event_id,
+        | strftime(ts, '%a %b %d %H:%M:%S') || ' +0800 ' || strftime(ts, '%Y') AS raw,
+        | CAST(epoch(strptime(strftime(ts, '%a %b %d %H:%M:%S') || ' +0800 ' || strftime(ts, '%Y'),
+        |   '%a %b %d %H:%M:%S %z %Y')) AS BIGINT) AS parsed_epoch
+        |FROM events""".stripMargin,
+
+    "q53_topics" ->
+      """SELECT doc_id,
+        | 't' || (doc_id % 50)::VARCHAR ||
+        | CASE WHEN doc_id % 5 = 0 THEN ',x' || (doc_id % 7)::VARCHAR ELSE '' END AS topics
+        |FROM documents""".stripMargin,
+
+    "q54_at_users" ->
+      """SELECT doc_id, 'user' || (doc_id % 30)::VARCHAR AS at_users FROM documents""".stripMargin,
+
+    "q55_article_url" ->
+      """SELECT doc_id,
+        | CASE WHEN doc_id % 3 = 0 THEN 'http://t.cn/A' || doc_id::VARCHAR ELSE '' END AS article_url
+        |FROM documents""".stripMargin,
+
+    "q56_truncation_hint" ->
+      """SELECT doc_id, CAST(CASE WHEN doc_id % 3 = 2 THEN 0 ELSE 1 END AS INT) AS truncated
+        |FROM documents""".stripMargin,
+
+    "q57_repost_clean" ->
+      """SELECT doc_id,
+        | CASE WHEN doc_id % 4 = 0 THEN '转发微博'
+        |      WHEN doc_id % 4 = 1 THEN '转发微博'
+        |      WHEN doc_id % 4 = 2 THEN 'head' || doc_id::VARCHAR
+        |      ELSE (CASE WHEN string_split(text, '//')[1] = '' OR string_split(text, '//')[1] = 'Repost'
+        |                 THEN '转发微博' ELSE string_split(text, '//')[1] END) END AS cleaned
+        |FROM documents""".stripMargin,
+
+    "q58_safe_filename" ->
+      """SELECT doc_id,
+        | regexp_replace('a/b:c*' || text || '?d"e<f>g|', '[\\/:*?"<>|]', '_', 'g') AS fname
+        |FROM documents""".stripMargin,
+
+    "q59_location" ->
+      """SELECT doc_id,
+        | CASE WHEN doc_id % 2 = 0 THEN 'city' || (doc_id % 9)::VARCHAR ELSE '' END AS location
+        |FROM documents""".stripMargin,
+
     "q60_stream_hourly_counts" ->
       """SELECT date_trunc('hour', ts) AS window_start, event_type, COUNT(*) AS cnt
         |FROM events GROUP BY 1, 2""".stripMargin
-    // q24_simhash_near_dups, q26_ann_lsh_topk, q50/q51 crawl internals:
-    // intentionally no oracle (engine-internal / non-SQL-portable hyperplanes)
-    // → rows-only check; correctness asserted by ScalaTest suites instead.
+    // q26_ann_lsh_topk, q27_ann_ivf_topk, q50/q51 crawl internals:
+    // intentionally no oracle (non-SQL-portable hyperplanes/centroids,
+    // engine-internal state) → rows-only check; correctness asserted by
+    // ScalaTest suites (recall-vs-brute-force, crawl goldens) instead.
   )
 }

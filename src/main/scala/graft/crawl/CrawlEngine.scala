@@ -1,13 +1,18 @@
 package graft.crawl
 
+import java.io.{ByteArrayInputStream, ByteArrayOutputStream}
+
 import graft.functions.gf
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.util.sketch.BloomFilter
 
 /** Seed config row — analog of config.json user_id_list entries
-  * (/root/reference/weibo.py:144-166): a root url plus a [since, end]
-  * crawl window (weibo.py:286-331 normalization). */
+  * (/root/reference/weibo.py:144-166): a root url plus a [since, end)
+  * crawl window (weibo.py:286-331 normalization; the reference's inclusive
+  * "23:59:59" end maps to an exclusive next-midnight bound here, so window
+  * rotation `since := end` re-emits nothing twice at the boundary). */
 case class Seed(seed_id: String, root_url: String,
     since_ts: java.sql.Timestamp, end_ts: java.sql.Timestamp)
 
@@ -30,6 +35,9 @@ case class Seed(seed_id: String, root_url: String,
  *                           stage (tests keep this off: budgets are modeled
  *                           as data — fetch ordinals × delay — so runs are
  *                           replayable; SURVEY.md §7 hard-part 2)
+ * @param compactEvery       fold frontier/seen deltas into a full base
+ *                           snapshot every N batches (amortizes the only
+ *                           O(|state|) write; per-batch writes are O(batch))
  */
 case class CrawlConfig(
     defaultHostBudget: Int = 5,
@@ -46,7 +54,8 @@ case class CrawlConfig(
     cachePages: Boolean = false,
     detailedMetrics: Boolean = true,
     shardedRanking: Boolean = false,
-    broadcastScheduled: Boolean = false)
+    broadcastScheduled: Boolean = false,
+    compactEvery: Int = 8)
 
 /**
  * The URL-frontier + fetch-scheduler engine (BASELINE.json.north_rule).
@@ -54,14 +63,30 @@ case class CrawlConfig(
  * One micro-batch re-expresses the reference's crawl loop
  * (weibo.py:1663-1817 / SURVEY.md §3.1 step 4) as a declarative plan:
  *
- *   frontier ──bloom prefilter──► exact LEFT ANTI JOIN seen      (F2)
+ *   frontier ──bloom prefilter──► exact membership resolve vs seen    (F2)
  *           ──robots gating──► per-host window rank (newest-first,
  *             budget-capped)                                      (W1/W3/F4)
  *           ──salted repartition on host-hash──► fetch (pages lookup)
- *           ──warc_ts ∈ [since,end]──► parse (extract_text/outlinks) (F3, U1)
+ *           ──warc_ts ∈ [since,end)──► parse (extract_text/outlinks) (F3, U1)
  *           ──explode outlinks──► new frontier entries            (U5)
- *           ──MERGE seen/frontier + append fetched/ledger, one atomic
+ *           ──delta MERGE seen/frontier + append fetched/ledger, one atomic
  *             commit──► resumable exactly at frontier state       (O4)
+ *
+ * Scale invariants (the parts that survive 100×):
+ *  - **bytes written per batch are O(batch)**: seen/frontier updates are
+ *    delta appends (adds + del-keys), folded into a base snapshot only every
+ *    `compactEvery` batches (StateStore delta tables);
+ *  - **the big state sides are scanned, never shuffled**: every membership
+ *    check against seen/frontier is inverted into a broadcast-semi of the
+ *    bounded batch keys against the big table, then a broadcast anti-join of
+ *    the tiny match set back — no sort-merge of 10^10 rows anywhere;
+ *  - **the bloom prefilter is maintained incrementally**: built once (or
+ *    loaded from its persisted snapshot + replay of seen-deltas), then
+ *    updated in place with each batch's bounded key set — never rebuilt by
+ *    re-scanning seen per batch, never collected at O(|seen|) per batch.
+ *    At cluster scale the same lifecycle runs executor-side with per-shard
+ *    blobs co-partitioned with the frontier; in local mode the driver holds
+ *    them (total size = ~1.2 bytes/key at fpp 0.01).
  *
  * All steps are Dataset/Catalyst operators — Catalyst pushes the filters,
  * AQE picks join strategies and splits skewed partitions; the only
@@ -99,16 +124,29 @@ class CrawlEngine(
   private var seenSizeCache: Long = -1L
   private def seenSize(committed: Long): Long = {
     if (seenSizeCache < 0) {
-      seenSizeCache = ledger(committed) match {
-        case Some(l) if committed >= 0 =>
-          val rows = l.filter($"state".isin("SUCCESS", "ROTATED")).orderBy($"batch_id".desc)
-            .select("seen_size").limit(1).collect()
-          if (rows.nonEmpty) rows(0).getLong(0) else seen(committed).count()
-        case _ => if (committed >= 0) seen(committed).count() else 0L
-      }
+      seenSizeCache = lastLedgerMetric(committed, "seen_size")
+        .getOrElse(if (committed >= 0) seen(committed).count() else 0L)
     }
     seenSizeCache
   }
+
+  /** running |frontier| — same arithmetic maintenance (deltas are exact:
+    * every del key is frontier-present, every add is frontier-absent). */
+  private var frontierSizeCache: Long = -1L
+  private def frontierSize(committed: Long): Long = {
+    if (frontierSizeCache < 0) {
+      frontierSizeCache = lastLedgerMetric(committed, "frontier_size")
+        .getOrElse(frontier(committed).count())
+    }
+    frontierSizeCache
+  }
+
+  private def lastLedgerMetric(committed: Long, colName: String): Option[Long] =
+    ledger(committed).flatMap { l =>
+      val rows = l.filter($"state".isin("SUCCESS", "ROTATED")).orderBy($"batch_id".desc)
+        .select(colName).limit(1).collect()
+      if (rows.nonEmpty && rows(0).getLong(0) >= 0) Some(rows(0).getLong(0)) else None
+    }
 
   private def emptyFrontier: DataFrame = Seq.empty[(String, String, Long, String, Int,
       java.sql.Timestamp, String, java.sql.Timestamp, java.sql.Timestamp, Long)]
@@ -121,15 +159,7 @@ class CrawlEngine(
   /** Seed list → initial frontier (depth 0, priority = end of window so the
     * newest-first order starts at the seed's cursor, weibo.py:2743). */
   def frontierFromSeeds(seeds: Seq[Seed]): DataFrame =
-    seeds.toDF("seed_id", "root_url", "since_ts", "end_ts")
-      .withColumn("url", $"root_url")
-      .withColumn("url_canon", gf.canonicalize_url($"url"))
-      .withColumn("url_hash", xxhash64($"url_canon"))
-      .withColumn("host", gf.url_host($"url_canon"))
-      .withColumn("depth", lit(0))
-      .withColumn("priority_ts", $"end_ts")
-      .withColumn("discovered_batch", lit(-1L))
-      .select(emptyFrontier.columns.map(col): _*)
+    frontierFromSeeds2(seeds.toDF("seed_id", "root_url", "since_ts", "end_ts"))
 
   def initialize(seeds: Seq[Seed]): Unit = {
     store.write("seeds", -1L, seeds.toDF("seed_id", "root_url", "since_ts", "end_ts"))
@@ -140,14 +170,14 @@ class CrawlEngine(
     * is "frontier already full", not "grown from 8 seeds"). */
   def initializeWithFrontier(frontier: DataFrame): Unit = {
     require(store.committedBatch < 0, s"state at $stateDir already initialized")
-    store.write("frontier", -1L, frontier)
-    store.write("seen", -1L, emptySeen)
+    store.writeBase("frontier", -1L, frontier)
+    store.writeBase("seen", -1L, emptySeen)
     // version -1 is readable but the pointer still says -1 ⇒ batch 0 is next
     store.commit(-1L)
   }
 
-  def frontier(v: Long = store.committedBatch): DataFrame = store.read("frontier", v, emptyFrontier)
-  def seen(v: Long = store.committedBatch): DataFrame = store.read("seen", v, emptySeen)
+  def frontier(v: Long = store.committedBatch): DataFrame = store.readView("frontier", v, emptyFrontier)
+  def seen(v: Long = store.committedBatch): DataFrame = store.readView("seen", v, emptySeen)
   def fetched(upTo: Long = store.committedBatch): Option[DataFrame] = store.readLog("fetched", upTo)
   def ledger(upTo: Long = store.committedBatch): Option[DataFrame] = store.readLog("ledger", upTo)
 
@@ -160,23 +190,78 @@ class CrawlEngine(
   def clearStop(): Unit =
     java.nio.file.Files.deleteIfExists(java.nio.file.Paths.get(stateDir, "_STOP"))
 
-  /** Build the sharded bloom prefilter blobs from the committed seen set. */
-  private def bloomBlobs(seenDf: DataFrame, seenCount: Long): Option[Seq[Array[Byte]]] = {
-    if (seenCount == 0) return None
-    val s = cfg.bloomShards
-    val expectedPerShard = math.max(64L, seenCount / s + 1)
-    val rows = seenDf
-      .groupBy(pmod($"url_hash", lit(s.toLong)).as("shard"))
-      .agg(BloomSeen.bloom_build($"url_hash", expectedPerShard, cfg.bloomFpp).as("blob"))
-      .collect()
-    val empty = {
-      val bf = org.apache.spark.util.sketch.BloomFilter.create(64, cfg.bloomFpp)
-      val bos = new java.io.ByteArrayOutputStream(); bf.writeTo(bos); bos.toByteArray
-    }
-    val blobs = Array.fill[Array[Byte]](s)(empty)
-    rows.foreach(r => blobs(r.getLong(0).toInt) = r.getAs[Array[Byte]]("blob"))
-    Some(blobs.toSeq)
+  // ------------------------------------------------------------------
+  // Incremental bloom prefilter lifecycle (U4/O5 — VERDICT r1 item 2)
+  // ------------------------------------------------------------------
+
+  /** In-memory per-shard filters, kept across batches; null while |seen| is
+    * below bloomMinSeen (the filter costs more than the anti-join saves). */
+  private var blobs: Array[BloomFilter] = _
+  private var blobCapacity: Long = 0L // per-shard expectedItems at creation
+  /** counts full builds (scan of seen) — tests assert it stays ≤ 1. */
+  private[graft] var bloomFullBuilds: Int = 0
+
+  private def serializedBlobs: Seq[Array[Byte]] = blobs.toSeq.map { bf =>
+    val bos = new ByteArrayOutputStream(); bf.writeTo(bos); bos.toByteArray
   }
+
+  private def insertBlobs(hashes: Array[Long]): Unit = {
+    val s = cfg.bloomShards
+    var i = 0
+    while (i < hashes.length) {
+      val h = hashes(i)
+      blobs(Math.floorMod(h, s.toLong).toInt).putLong(h)
+      i += 1
+    }
+  }
+
+  /** One-time build by scanning the seen view at `v` (also the grow-rebuild
+    * path at compaction). Per-shard partial aggregation happens map-side, so
+    * the job collects S blobs, not |seen| longs. */
+  private def buildBlobsFresh(v: Long, seenCount: Long): Unit = {
+    bloomFullBuilds += 1
+    blobCapacity = math.max(4L * seenCount / cfg.bloomShards + 1, 65536L)
+    blobs = Array.fill(cfg.bloomShards)(BloomFilter.create(blobCapacity, cfg.bloomFpp))
+    seen(v).groupBy(pmod($"url_hash", lit(cfg.bloomShards.toLong)).as("shard"))
+      .agg(BloomSeen.bloom_build($"url_hash", blobCapacity, cfg.bloomFpp).as("blob"))
+      .collect()
+      .foreach { r =>
+        blobs(r.getLong(0).toInt)
+          .mergeInPlace(BloomFilter.readFrom(new ByteArrayInputStream(r.getAs[Array[Byte]]("blob"))))
+      }
+  }
+
+  /** Lazy init: load the persisted blob snapshot and replay seen-deltas since
+    * (resume path), or build once from seen. Never a per-batch rebuild. */
+  private def ensureBlobs(committed: Long, seenCount: Long): Unit = {
+    if (blobs != null || seenCount < cfg.bloomMinSeen) return
+    store.latestVersion("bloom", committed) match {
+      case Some(v) =>
+        val rows = store.read("bloom", v, sys.error("bloom version listed but unreadable")).collect()
+        blobCapacity = rows.head.getAs[Long]("capacity")
+        blobs = new Array[BloomFilter](cfg.bloomShards)
+        rows.foreach(r => blobs(r.getAs[Int]("shard")) =
+          BloomFilter.readFrom(new ByteArrayInputStream(r.getAs[Array[Byte]]("blob"))))
+        store.readDeltaAdds("seen", v, committed).foreach { d =>
+          insertBlobs(d.select("url_hash").collect().map(_.getLong(0)))
+        }
+      case None => buildBlobsFresh(committed, seenCount)
+    }
+  }
+
+  /** Persist the blob snapshot (S small rows) — only at compaction points,
+    * so the O(blob-bytes) write is amortized like the base snapshots. */
+  private def persistBlobs(v: Long): Unit = if (blobs != null) {
+    val rows = serializedBlobs.zipWithIndex.map { case (b, i) => (i, b, blobCapacity) }
+    store.write("bloom", v, rows.toDF("shard", "blob", "capacity").coalesce(1))
+  }
+
+  /** Exact rebuild with doubled headroom once |seen| outgrows capacity —
+    * between rebuilds an overfull filter only degrades fpp (more exact-join
+    * work), never correctness (no false negatives possible). */
+  private def maybeRebuildBlobs(v: Long, seenCount: Long): Unit =
+    if (blobs != null && seenCount > blobCapacity * cfg.bloomShards / 2)
+      buildBlobsFresh(v, seenCount)
 
   private val timing = sys.env.contains("GRAFT_TIMING")
   private def timed[T](label: String)(f: => T): T = {
@@ -196,22 +281,28 @@ class CrawlEngine(
     val front = frontier(committed)
     val seenDf = seen(committed)
     val seenCount = seenSize(committed)
+    val frontCount = frontierSize(committed)
 
-    // ---- F2: seen-set dedup — bloom prefilter + authoritative anti-join.
+    // ---- F2: seen-set dedup — bloom prefilter + authoritative exact resolve.
     // !mightContain ⇒ definitely new (skips the join); mightContain ⇒ maybe
-    // (false positives resolved by the exact anti-join, so a never-seen url
-    // can never be dropped — FIXTURES.md §5.3).
-    // below bloomMinSeen the filter build costs more than the anti-join saves
-    val blobsOpt = timed("bloom_build")(if (seenCount >= cfg.bloomMinSeen) bloomBlobs(seenDf, seenCount) else None)
-    val candidates = blobsOpt match {
-      case Some(blobs) =>
-        val probed = front.withColumn("_maybe_seen", BloomSeen.bloom_probe(blobs, $"url_hash"))
+    // (false positives resolved exactly, so a never-seen url can never be
+    // dropped — FIXTURES.md §5.3). The maybe-set is tiny (bloom fpp ×
+    // |frontier| + rotation re-adds), so the exact resolve is INVERTED:
+    // semi-join the big seen scan against the broadcast maybe-keys, then
+    // broadcast the (even tinier) confirmed matches back — seen is scanned
+    // once, shuffle-free, instead of sort-merge-shuffling 10^10 rows.
+    timed("bloom_ensure")(ensureBlobs(committed, seenCount))
+    val candidates =
+      if (blobs != null) {
+        val probed = front.withColumn("_maybe_seen",
+          BloomSeen.bloom_probe(serializedBlobs, $"url_hash"))
         val definitelyNew = probed.filter(!$"_maybe_seen").drop("_maybe_seen")
-        val resolved = probed.filter($"_maybe_seen").drop("_maybe_seen")
-          .join(seenDf.select("url_hash"), Seq("url_hash"), "left_anti")
+        val maybe = probed.filter($"_maybe_seen").drop("_maybe_seen")
+        val seenMatch = seenDf.select("url_hash")
+          .join(broadcast(maybe.select("url_hash")), Seq("url_hash"), "left_semi")
+        val resolved = maybe.join(broadcast(seenMatch), Seq("url_hash"), "left_anti")
         definitelyNew.unionByName(resolved)
-      case None => front
-    }
+      } else front // frontier ∩ seen = ∅ is maintained by construction below
 
     // ---- robots gating (north rule). Small dim ⇒ broadcast; prefix match
     // is a theta join so Catalyst plans BroadcastNestedLoop — fine for a
@@ -238,13 +329,17 @@ class CrawlEngine(
         .toDF("b_host", "b_budget"))
     // shardedRanking: the global per-host rank makes a mega-host one window
     // partition — a single sequential task no matter how many executors. At
-    // scale each politeness shard (host, salt) owns budget/S and ranks
-    // independently: newest-first is preserved per shard, the sort
-    // parallelizes, and determinism is kept (salt = f(url_hash)). Tests use
-    // the exact global rank (reference-order equivalence); benches shard.
+    // scale each politeness shard (host, salt) ranks independently:
+    // newest-first is preserved per shard, the sort parallelizes, and
+    // determinism is kept (salt = f(url_hash)). The budget splits exactly:
+    // shards with salt < budget mod S get floor(budget/S)+1, the rest
+    // floor(budget/S) — per-batch host total == host_budget, so the
+    // politeness cap is never exceeded (ADVICE r1). Tests use the exact
+    // global rank (reference-order equivalence); benches shard.
+    val saltCol = pmod($"url_hash", lit(cfg.saltBuckets.toLong))
     val w =
       if (cfg.shardedRanking)
-        Window.partitionBy($"host", pmod($"url_hash", lit(cfg.saltBuckets.toLong)))
+        Window.partitionBy($"host", saltCol)
           .orderBy($"priority_ts".desc, $"url_canon".asc)
       else Window.partitionBy($"host").orderBy($"priority_ts".desc, $"url_canon".asc)
     val ranked = allowed
@@ -254,7 +349,9 @@ class CrawlEngine(
       .withColumn("host_budget", coalesce($"b_budget", lit(cfg.defaultHostBudget)))
       .drop("b_host", "b_budget")
     val effBudget =
-      if (cfg.shardedRanking) ceil($"host_budget" / lit(cfg.saltBuckets.toDouble)).cast("int")
+      if (cfg.shardedRanking)
+        floor($"host_budget" / lit(cfg.saltBuckets)).cast("int") +
+          when(saltCol < pmod($"host_budget", lit(cfg.saltBuckets)), 1).otherwise(0)
       else $"host_budget"
     val scheduled = ranked
       .filter($"fetch_ordinal" <= effBudget)
@@ -268,17 +365,21 @@ class CrawlEngine(
     // broadcastScheduled: ship the scheduled batch to the corpus scan — a
     // BroadcastHashJoin where the pages side NEVER moves (scan → join →
     // parse in one codegen stage). This is the local analog of a bucketed
-    // Iceberg scan + runtime-filter pushdown. Requires a closed corpus
-    // (every scheduled url resolves): BHJ can't preserve unmatched build
-    // rows, so dead-letter tracking needs the outer-join path.
+    // Iceberg scan + runtime-filter pushdown. BHJ can't preserve unmatched
+    // build rows, so the exact scheduled count is taken first and any
+    // missing urls are recovered as dead-letter rows below — an open corpus
+    // degrades to two bounded joins instead of silently re-scheduling the
+    // missing urls forever (ADVICE r1).
     val pagesSel = pagesByCanon.select($"url_canon", $"page_url", $"warc_ts", $"html", $"text", $"lang")
-    val fetchedRaw =
-      if (cfg.broadcastScheduled)
-        pagesSel.join(broadcast(scheduled), Seq("url_canon"))
-          .withColumn("found", lit(true))
-      else
+    val scheduledCached = if (cfg.broadcastScheduled) Some(scheduled.persist()) else None
+    val schedExact = scheduledCached.map(s => timed("sched_count")(s.count()))
+    val fetchedRaw = scheduledCached match {
+      case Some(s) =>
+        pagesSel.join(broadcast(s), Seq("url_canon")).withColumn("found", lit(true))
+      case None =>
         scheduled.join(pagesSel, Seq("url_canon"), "left_outer")
           .withColumn("found", $"page_url".isNotNull)
+    }
 
     // O7/O8 inverted (real fetches only): parallel across hosts, sequential
     // within a (host, salt) shard — pace() repartitions so one task owns each
@@ -286,11 +387,14 @@ class CrawlEngine(
     val paced = if (cfg.realTimePacing) pace(fetchedRaw) else fetchedRaw
 
     // ---- F3 time window + U1 parse + invariant check + U5 outlinks.
+    // Windows are HALF-OPEN [since, end): the reference's inclusive 23:59:59
+    // end bound ≡ exclusive next-midnight, and rotation (since := end) then
+    // emits a boundary-timestamped page exactly once across windows.
     // The invariant flag is computed BEFORE persist so the cached projection
     // can drop html/text — the cache carries ~1KB/row instead of the full
     // page body (at bench scale the difference is whether it fits in memory).
     val parsed = paced
-      .withColumn("in_range", $"found" && $"warc_ts".between($"since_ts", $"end_ts"))
+      .withColumn("in_range", $"found" && $"warc_ts" >= $"since_ts" && $"warc_ts" < $"end_ts")
       // fused single-pass parse: ONE scan yields text + outlinks (the DOM
       // pair of expressions parses the page twice and doubles allocation)
       .withColumn("_p", when($"found", gf.extract_parsed($"html")))
@@ -322,11 +426,25 @@ class CrawlEngine(
       println(s"==== batch $batchId: fetch+parse physical plan ====")
       println(org.apache.spark.sql.graftbridge.executedPlanString(parsed))
     }
-    val schedCount = mrow.getLong(0)
-    val notFound = mrow.getLong(1)
+    val schedParsed = mrow.getLong(0)
     val inRange = mrow.getLong(2)
     val invariantViolations = mrow.getLong(3)
     val nPartitions = mrow.getLong(4)
+
+    // BHJ open-corpus recovery: scheduled urls the inner join dropped become
+    // NOT_FOUND dead-letter rows and leave the frontier (both joins bounded:
+    // the big pages side is scanned via a broadcast-semi, never shuffled).
+    val missingRows: Option[DataFrame] = scheduledCached match {
+      case Some(s) if schedExact.get != schedParsed =>
+        val matched = pagesSel.select("url_canon")
+          .join(broadcast(s.select("url_canon")), Seq("url_canon"), "left_semi")
+        Some(s.join(broadcast(matched), Seq("url_canon"), "left_anti")
+          .select($"url_canon", $"url_hash", $"host", $"seed_id", $"depth").persist())
+      case _ => None
+    }
+    val missingCount = missingRows.map(_.count()).getOrElse(0L)
+    val schedCount = schedExact.getOrElse(schedParsed)
+    val notFound = mrow.getLong(1) + missingCount
 
     // lineage per north rule: (partition id, batch id, fetch ordinal)
     val fetchedOut = parsed.filter($"in_range").select(
@@ -336,13 +454,31 @@ class CrawlEngine(
       $"batch_id", $"partition_id", $"fetch_ordinal", $"sched_delay_ms")
 
     // too-new pages: attempted this run, emitted next window after rotation
-    val deferredOut = parsed.filter($"found" && $"warc_ts" > $"end_ts")
+    val deferredOut = parsed.filter($"found" && $"warc_ts" >= $"end_ts")
       .select($"url_canon", $"url_hash", $"host", $"seed_id", $"depth",
         $"warc_ts", $"since_ts", $"end_ts", $"batch_id")
 
-    lazy val errorsOut = parsed.filter(!$"found").select(
-      $"url_canon", $"url_hash", $"host", $"seed_id", $"depth",
-      lit("NOT_FOUND").as("error"), $"batch_id", $"partition_id")
+    lazy val errorsOut = {
+      val fromParsed = parsed.filter(!$"found").select(
+        $"url_canon", $"url_hash", $"host", $"seed_id", $"depth",
+        lit("NOT_FOUND").as("error"), $"batch_id", $"partition_id")
+      missingRows.map(m => fromParsed.unionByName(
+        m.select($"url_canon", $"url_hash", $"host", $"seed_id", $"depth",
+          lit("NOT_FOUND").as("error"), lit(batchId).as("batch_id"),
+          lit(-1).as("partition_id")))).getOrElse(fromParsed)
+    }
+
+    // processed = attempted fetches + robots-blocked (neither returns to the
+    // frontier; blocked urls are seen-equivalent: never fetch). All three
+    // inputs are url_hash-unique and pairwise disjoint, so |processed| =
+    // scheduled + blocked exactly — the arithmetic the size caches rely on.
+    val processedRows = {
+      val base = parsed.select($"url_hash", $"url_canon")
+        .unionByName(robotsBlocked.select($"url_hash", $"url_canon"))
+      missingRows.map(m => base.unionByName(m.select($"url_hash", $"url_canon")))
+        .getOrElse(base).distinct().persist()
+    }
+    val processedHashes = processedRows.select("url_hash")
 
     // ---- U5: outlink expansion → next frontier entries. Children inherit
     // the seed window; priority = linking page's warc_ts (recency prior).
@@ -374,59 +510,80 @@ class CrawlEngine(
               expr("parse_url(url_canon, 'PATH')").startsWith(robots("r_prefix")),
             "left_anti")
       })
+      .persist()
 
-    // processed = attempted fetches + robots-blocked (neither returns to the
-    // frontier; blocked urls are seen-equivalent: never fetch)
-    val processedHashes = parsed.select("url_hash")
-      .unionByName(robotsBlocked.select("url_hash")).distinct().persist()
-
-    // processedHashes is bounded by the batch budget — broadcastable, so
-    // the large frontier/seen sides never shuffle for these joins
-    val newSeen = seenDf.unionByName(
-        broadcast(processedHashes)
-          .join(front.select($"url_hash", $"url_canon"), Seq("url_hash"))
-          .dropDuplicates("url_hash")
-          .withColumn("first_batch", lit(batchId))
-          .select("url_hash", "url_canon", "first_batch"))
-      .dropDuplicates("url_hash") // MERGE: first-occurrence wins (weibo.py:1698-1699)
-      .persist() // consumed by the seen write AND two frontier anti-joins
-
-    val newFrontier = front
+    // Frontier adds = discovered minus (processed this batch ∪ already seen ∪
+    // already in frontier). The seen/frontier checks are INVERTED like the
+    // candidate resolve: the bounded discovered keys broadcast-semi against
+    // the big scans, the tiny hit sets broadcast back — no big-side shuffle.
+    val discoveredKeys = discovered.select("url_hash")
+    val seenHit = seenDf.select("url_hash")
+      .join(broadcast(discoveredKeys), Seq("url_hash"), "left_semi")
+    val frontHit = front.select("url_hash")
+      .join(broadcast(discoveredKeys), Seq("url_hash"), "left_semi")
+    val newFrontAdds = discovered
       .join(broadcast(processedHashes), Seq("url_hash"), "left_anti")
-      .unionByName(
-        discovered
-          .join(newSeen.select("url_hash"), Seq("url_hash"), "left_anti")
-          .join(front.select("url_hash"), Seq("url_hash"), "left_anti"))
+      .join(broadcast(seenHit), Seq("url_hash"), "left_anti")
+      .join(broadcast(frontHit), Seq("url_hash"), "left_anti")
 
-    // ---- atomic multi-table snapshot commit (Iceberg MERGE analog)
-    timed("write_frontier")(store.write("frontier", batchId, newFrontier))
-    timed("write_seen")(store.write("seen", batchId, newSeen))
+    // seen adds: first-occurrence-wins (weibo.py:1698-1699) holds by
+    // construction — processed rows were anti-joined against seen on entry
+    // to the frontier, so every one is a first occurrence.
+    val seenAdds = processedRows.withColumn("first_batch", lit(batchId))
+      .select("url_hash", "url_canon", "first_batch")
+
+    // ---- atomic multi-table delta commit (Iceberg MERGE analog):
+    // O(batch) bytes — never a rewrite of the full seen/frontier state.
+    timed("write_fr_adds")(store.writeDeltaAdds("frontier", batchId, newFrontAdds))
+    timed("write_fr_dels")(store.writeDeltaDels("frontier", batchId, processedRows))
+    timed("write_seen_adds")(store.writeDeltaAdds("seen", batchId, seenAdds))
     timed("write_fetched")(store.appendLog("fetched", batchId, fetchedOut))
     if (notFound > 0) store.appendLog("errors", batchId, errorsOut)
     store.appendLog("deferred", batchId, deferredOut)
 
-    val frontierSize = timed("frontier_count")(frontier(batchId).count()) // metadata-only read-back
-    // arithmetic |seen| update: scheduled + blocked are frontier-unique and
-    // were anti-joined against seen, so every one is a first occurrence
+    // incremental bloom maintenance: insert ONLY this batch's bounded key set
+    // (collect is O(batch)); must precede persistBlobs so a snapshot at this
+    // version needs no replay of its own batch
+    if (blobs != null) timed("bloom_insert") {
+      insertBlobs(processedHashes.collect().map(_.getLong(0)))
+    }
+
+    // arithmetic size updates: dels are frontier-present exactly once,
+    // adds are frontier-absent (anti-joined above) — no O(|state|) count jobs
+    val addsCount = timed("adds_count")(
+      store.readDeltaAdds("frontier", batchId - 1, batchId).map(_.count()).getOrElse(0L))
     val newSeenSize = seenCount + schedCount + robotsBlockedCount
+    val newFrontierSize = frontCount - (schedCount + robotsBlockedCount) + addsCount
+
+    // amortized compaction: fold deltas into hash-clustered base snapshots
+    if (cfg.compactEvery > 0 && (batchId + 1) % cfg.compactEvery == 0) timed("compact") {
+      store.compact("frontier", batchId, emptyFrontier, cfg.shufflePartitions)
+      store.compact("seen", batchId, emptySeen, cfg.shufflePartitions)
+      maybeRebuildBlobs(batchId, newSeenSize)
+      persistBlobs(batchId)
+    }
+
     val candidateCount = if (cfg.detailedMetrics) candidates.count() else -1L
     val metrics = Map(
       "batch_id" -> batchId, "candidates" -> candidateCount,
       "scheduled" -> schedCount, "fetched" -> inRange, "not_found" -> notFound,
       "robots_blocked" -> robotsBlockedCount,
       "invariant_violations" -> invariantViolations,
-      "frontier_size" -> frontierSize, "seen_size" -> newSeenSize,
+      "frontier_size" -> newFrontierSize, "seen_size" -> newSeenSize,
       "partitions_used" -> nPartitions)
     store.appendLog("ledger", batchId,
       Seq((batchId, "SUCCESS", candidateCount, schedCount, inRange, notFound,
-        robotsBlockedCount, invariantViolations, frontierSize, newSeenSize, nPartitions))
+        robotsBlockedCount, invariantViolations, newFrontierSize, newSeenSize, nPartitions))
         .toDF("batch_id", "state", "candidates", "scheduled", "fetched", "not_found",
           "robots_blocked", "invariant_violations", "frontier_size", "seen_size", "partitions_used"))
     store.commit(batchId)
     seenSizeCache = newSeenSize
+    frontierSizeCache = newFrontierSize
     parsed.unpersist()
-    newSeen.unpersist()
-    processedHashes.unpersist()
+    discovered.unpersist()
+    processedRows.unpersist()
+    scheduledCached.foreach(_.unpersist())
+    missingRows.foreach(_.unpersist())
     if (!cfg.robotsDisallow.isEmpty) robotsBlocked.unpersist()
     metrics
   }
@@ -440,57 +597,71 @@ class CrawlEngine(
       .toDF("batch_id", "state", "candidates", "scheduled", "fetched", "not_found",
         "robots_blocked", "invariant_violations", "frontier_size", "seen_size", "partitions_used")
 
+  /** latest ROTATED ledger entry — the rotation watermark bounding which
+    * deferred-log batches the next rotation may re-open (ADVICE r1: without
+    * it every rotation re-forgets pages already re-emitted). */
+  private def lastRotatedBatch(committed: Long): Long =
+    ledger(committed).map { l =>
+      val r = l.filter($"state" === "ROTATED").agg(max($"batch_id")).head()
+      if (r.isNullAt(0)) Long.MinValue else r.getLong(0)
+    }.getOrElse(Long.MinValue)
+
   /**
    * Cursor rotation — the reference's per-seed window advance after every
    * run: `since_date := run start; end_date := now`
    * (/root/reference/weibo.py:2814-2817, rotated again before each scheduled
    * child run service.py:1384-1398). Semantics for the incremental re-crawl:
    *
-   *  1. every seed's window becomes [old end, newEnd] (seeds table MERGE);
+   *  1. every seed's window becomes [old end, newEnd) (seeds table MERGE);
    *  2. seed roots re-enter the frontier with the new window;
-   *  3. pages that were traversed but DEFERRED as too-new (warc_ts > old end)
-   *     are forgotten from the seen set, so the next run emits them — the
-   *     analog of the reference re-walking the newest pages each run while
-   *     the append-mode cutoff (F7) keeps already-emitted items unique.
+   *  3. pages that were traversed but DEFERRED as too-new (warc_ts >= old
+   *     end) SINCE THE LAST ROTATION are forgotten from the seen set, so the
+   *     next run emits them — the analog of the reference re-walking the
+   *     newest pages each run while the append-mode cutoff (F7) keeps
+   *     already-emitted items unique. Older deferrals were already re-opened
+   *     by earlier rotations and are not re-forgotten.
    *
-   * Runs at a batch boundary and commits as its own versioned state change
-   * (ledger state = ROTATED), so kill/resume semantics are identical to a
-   * normal batch.
+   * Runs at a batch boundary, doubles as a compaction point (full base
+   * snapshots — rotations are rare), and commits as its own versioned state
+   * change (ledger state = ROTATED), so kill/resume semantics are identical
+   * to a normal batch.
    */
   def rotateWindows(newEnd: java.sql.Timestamp): Unit = {
     val committed = store.committedBatch
     val batchId = committed + 1
-    val seedsDf = store.read("seeds", committedSeedsVersion(committed),
-      sys.error("rotateWindows requires initialize(seeds) state"))
+    val seedsV = store.latestVersion("seeds", committed)
+      .getOrElse(sys.error("rotateWindows requires initialize(seeds) state"))
+    val seedsDf = store.read("seeds", seedsV, sys.error("seeds listed but unreadable"))
     val rotated = seedsDf
       .withColumn("since_ts", $"end_ts")
       .withColumn("end_ts", lit(newEnd))
     val roots = frontierFromSeeds2(rotated)
-    val deferred = store.readLog("deferred", committed)
+    val deferred = store.readLog("deferred", committed, afterBatch = lastRotatedBatch(committed))
       .map(_.select("url_hash").distinct()).getOrElse(emptySeen.select("url_hash"))
     val forget = roots.select("url_hash").unionByName(deferred).distinct()
-    val newSeen = seen(committed).join(forget, Seq("url_hash"), "left_anti")
+    val newSeen = seen(committed).join(broadcast(forget), Seq("url_hash"), "left_anti")
     val newFrontier = frontier(committed)
       .join(broadcast(roots.select("url_hash")), Seq("url_hash"), "left_anti")
       .unionByName(roots)
     store.write("seeds", batchId, rotated)
-    store.write("frontier", batchId, newFrontier)
-    store.write("seen", batchId, newSeen)
+    // rotation = compaction point: write full bases (rare by design)
+    store.writeBase("frontier", batchId, newFrontier)
+    store.writeBase("seen", batchId, newSeen)
     val seenNow = seen(batchId).count()
-    store.appendLog("ledger", batchId, ledgerRow(batchId, "ROTATED", seenNow))
+    val frontNow = frontier(batchId).count()
+    // blobs keep the forgotten keys — a harmless false-positive superset
+    // resolved by the exact membership check; persist so resume replays
+    // only post-rotation deltas
+    persistBlobs(batchId)
+    store.appendLog("ledger", batchId,
+      ledgerRow(batchId, "ROTATED", seenNow, frontierSize = frontNow))
     store.commit(batchId)
     seenSizeCache = seenNow
+    frontierSizeCache = frontNow
   }
 
-  /** latest committed version at which a seeds table exists (seeds are only
-    * rewritten on rotation). */
-  private def committedSeedsVersion(committed: Long): Long = {
-    var v = committed
-    while (v >= -1 && !store.exists("seeds", v)) v -= 1
-    v
-  }
-
-  /** frontier rows from a seeds DataFrame (same shape as frontierFromSeeds). */
+  /** frontier rows from a seeds DataFrame (root url, depth 0, priority =
+    * window end so the newest-first order starts at the seed's cursor). */
   private def frontierFromSeeds2(seedsDf: DataFrame): DataFrame =
     seedsDf
       .withColumn("url", $"root_url")

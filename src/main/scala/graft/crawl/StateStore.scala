@@ -3,6 +3,7 @@ package graft.crawl
 import java.nio.charset.StandardCharsets
 import java.nio.file.{Files, Path, Paths, StandardCopyOption, StandardOpenOption}
 
+import org.apache.spark.sql.functions.{broadcast, col, lit}
 import org.apache.spark.sql.{DataFrame, SparkSession}
 
 /**
@@ -12,18 +13,42 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
  *
  * In production this is an Iceberg table and each batch ends in
  * `MERGE INTO frontier/seen/ledger` + one snapshot commit; this container
- * ships no Iceberg jars, so the same semantics are implemented directly:
+ * ships no Iceberg jars, so the same semantics are implemented directly.
  *
- *  - every batch writes each state table under `<table>/v=<batch>` (parquet);
- *  - a single store-level `_COMMITTED` pointer is then flipped via
- *    write-temp + ATOMIC_MOVE — the one-file analog of an Iceberg snapshot
- *    commit covering all tables of the batch;
- *  - readers resolve `_COMMITTED` and read only that version, so a job
- *    killed mid-batch leaves orphan `v=K+1` files that the retry simply
- *    overwrites (mode=overwrite ⇒ idempotent, exactly-once state);
- *  - "MERGE" = union(current, updates) + latest-wins per key, written as the
- *    next version (same observable result as MERGE WHEN MATCHED UPDATE /
- *    WHEN NOT MATCHED INSERT keyed on url_hash).
+ * Two table families:
+ *
+ * 1. **Snapshot tables** (`seeds`, `summary`, small dims): every write is a
+ *    full rewrite under `<table>/v=<batch>`. Fine for tables whose size is
+ *    O(config), catastrophic for state that grows with the crawl.
+ *
+ * 2. **Delta tables** (`frontier`, `seen` — the 10^10-row state): per batch
+ *    only the CHANGES are written, so bytes-written-per-batch is O(batch),
+ *    never O(|state|) — the property that makes the engine's per-batch cost
+ *    independent of how much has already been crawled (the reference's
+ *    append-mode incrementality, weibo.py:1729-1757, generalized). Layout:
+ *
+ *        <table>/base/v=<B>           compacted snapshot == full view at batch B
+ *        <table>/delta_add/batch=<N>  rows added by batch N   (tag _add_batch)
+ *        <table>/delta_del/batch=<N>  url_hash keys removed by batch N (tag _del_batch)
+ *
+ *    View at batch V = base(B⋆) ∪ adds(B⋆, V]  minus  keys whose newest del in
+ *    (B⋆, V] is newer than the row's add batch (so delete-then-re-add in a
+ *    later batch survives — rotation re-seeds roots this way). Dels are
+ *    bounded by Σ batch sizes since compaction, so the subtraction is a
+ *    broadcast anti-join: the big side is scanned but NEVER shuffled.
+ *    `compact()` (called by the engine every `compactEvery` batches, and at
+ *    every rotation) folds deltas into a new base — amortized O(|state|/C).
+ *    This is exactly the copy-on-write MERGE + periodic rewrite an Iceberg
+ *    table would do; uncommitted delta/base dirs from a crashed batch are
+ *    invisible (readers bound by the `_COMMITTED` pointer) and overwritten
+ *    idempotently on retry.
+ *
+ *  - a single store-level `_COMMITTED` pointer is flipped via write-temp +
+ *    ATOMIC_MOVE — the one-file analog of an Iceberg snapshot commit covering
+ *    all tables of the batch;
+ *  - append-only logs (`fetched`, `ledger`, `errors`, `deferred`) are written
+ *    per batch under `<table>/batch=<id>` and filtered to `batch <= committed`
+ *    on read — snapshot isolation, as an Iceberg append would give.
  *
  * Reference analog: the crawl resumes from config.json cursors + start_page
  * (weibo.py:66, weibo.py:2814-2817) and the tasks ledger
@@ -56,15 +81,123 @@ class StateStore(spark: SparkSession, root: String) {
   def exists(table: String, v: Long): Boolean =
     Files.exists(Paths.get(versionDir(table, v), "_SUCCESS"))
 
-  /** Read table state at the given (committed) version; empty DF w/ given schema if absent. */
+  /** Latest snapshot-table version ≤ upTo, if any (seeds/bloom tables are
+    * written only at rotation/compaction, so the latest ≤ committed wins). */
+  def latestVersion(table: String, upTo: Long): Option[Long] =
+    listIds(rootPath.resolve(table), "v=", Long.MinValue, upTo).lastOption
+
+  /** Read snapshot-table state at the given (committed) version; empty DF w/ given schema if absent. */
   def read(table: String, v: Long, schemaOf: => DataFrame): DataFrame =
     if (exists(table, v)) spark.read.parquet(versionDir(table, v))
     else schemaOf.limit(0)
 
-  /** Write the next version of a table (overwrite ⇒ retry-idempotent). */
+  /** Write the next version of a snapshot table (overwrite ⇒ retry-idempotent). */
   def write(table: String, v: Long, df: DataFrame, partitions: Int = 0): Unit = {
     val out = if (partitions > 0) df.repartition(partitions) else df
     out.write.mode("overwrite").parquet(versionDir(table, v))
+  }
+
+  // ------------------------------------------------------------------
+  // Delta tables
+  // ------------------------------------------------------------------
+
+  private def baseDir(table: String, v: Long): Path =
+    rootPath.resolve(table).resolve("base").resolve(s"v=$v")
+  private def addDir(table: String, b: Long): Path =
+    rootPath.resolve(table).resolve("delta_add").resolve(s"batch=$b")
+  private def delDir(table: String, b: Long): Path =
+    rootPath.resolve(table).resolve("delta_del").resolve(s"batch=$b")
+
+  /** List ids under a prefixed dir (`v=` / `batch=`), _SUCCESS-committed only. */
+  private def listIds(dir: Path, prefix: String, lo: Long, hi: Long): Seq[Long] = {
+    if (!Files.exists(dir)) return Nil
+    val st = Files.list(dir)
+    try {
+      val out = Seq.newBuilder[Long]
+      val it = st.iterator()
+      while (it.hasNext) {
+        val p = it.next()
+        val name = p.getFileName.toString
+        if (name.startsWith(prefix)) {
+          val id = name.drop(prefix.length).toLong
+          if (id > lo && id <= hi && Files.exists(p.resolve("_SUCCESS"))) out += id
+        }
+      }
+      out.result().sorted
+    } finally st.close()
+  }
+
+  /** Latest compacted base version ≤ upTo, if any. */
+  def latestBase(table: String, upTo: Long): Option[Long] =
+    listIds(rootPath.resolve(table).resolve("base"), "v=", Long.MinValue, upTo).lastOption
+
+  /** Write a full compacted snapshot (view at batch v). Amortized: the engine
+    * calls this every compactEvery batches, not per batch. */
+  def writeBase(table: String, v: Long, df: DataFrame): Unit =
+    df.write.mode("overwrite").parquet(baseDir(table, v).toString)
+
+  /** Per-batch added rows — O(batch) bytes. */
+  def writeDeltaAdds(table: String, batch: Long, adds: DataFrame): Unit =
+    adds.withColumn("_add_batch", lit(batch))
+      .write.mode("overwrite").parquet(addDir(table, batch).toString)
+
+  /** Per-batch removed keys (url_hash) — O(batch) bytes. */
+  def writeDeltaDels(table: String, batch: Long, delKeys: DataFrame): Unit =
+    delKeys.select(col("url_hash").as("_del_hash")).withColumn("_del_batch", lit(batch))
+      .write.mode("overwrite").parquet(delDir(table, batch).toString)
+
+  /** Union of add-deltas in (afterExcl, upToIncl], tagged with _add_batch. */
+  def readDeltaAdds(table: String, afterExcl: Long, upToIncl: Long): Option[DataFrame] = {
+    val ids = listIds(rootPath.resolve(table).resolve("delta_add"), "batch=", afterExcl, upToIncl)
+    if (ids.isEmpty) None
+    else Some(spark.read.parquet(ids.map(addDir(table, _).toString): _*))
+  }
+
+  private def readDeltaDels(table: String, afterExcl: Long, upToIncl: Long): Option[DataFrame] = {
+    val ids = listIds(rootPath.resolve(table).resolve("delta_del"), "batch=", afterExcl, upToIncl)
+    if (ids.isEmpty) None
+    else Some(spark.read.parquet(ids.map(delDir(table, _).toString): _*))
+  }
+
+  /** Reconstruct the table view at batch `v`: base ∪ adds, minus keys with a
+    * newer del. The del set is bounded (≤ compactEvery batches of keys) so it
+    * broadcasts; the base is scanned once, shuffle-free. */
+  def readView(table: String, v: Long, schemaOf: => DataFrame): DataFrame =
+    readViewCapped(table, v, schemaOf, v)
+
+  private def readViewCapped(table: String, v: Long, schemaOf: => DataFrame,
+      maxBaseV: Long): DataFrame = {
+    val baseV = latestBase(table, maxBaseV)
+    val base = baseV.map(b => spark.read.parquet(baseDir(table, b).toString)
+      .withColumn("_add_batch", lit(b)))
+    val adds = readDeltaAdds(table, baseV.getOrElse(Long.MinValue), v)
+    val all = (base, adds) match {
+      case (Some(b), Some(a)) => b.unionByName(a)
+      case (Some(b), None)    => b
+      case (None, Some(a))    => a
+      case (None, None)       => return schemaOf.limit(0)
+    }
+    val view = readDeltaDels(table, baseV.getOrElse(Long.MinValue), v) match {
+      case Some(dels) =>
+        all.join(broadcast(dels),
+          all("url_hash") === dels("_del_hash") && dels("_del_batch") > all("_add_batch"),
+          "left_anti")
+      case None => all
+    }
+    view.drop("_add_batch")
+  }
+
+  /** Fold all deltas ≤ v into a new base snapshot at v, hash-clustered on
+    * url_hash so downstream broadcast-semi probes get parquet min/max file
+    * skipping. (Old versions are retained for time-travel/resume, exactly
+    * like Iceberg snapshots; GC of expired snapshots is an offline concern.) */
+  def compact(table: String, v: Long, schemaOf: => DataFrame, partitions: Int): Unit = {
+    // bases capped at v-1: a base already at v can only be the orphan of a
+    // crashed previous attempt at this same compaction — reading it would
+    // poison the recompaction (deltas at v are included either way)
+    val view = readViewCapped(table, v, schemaOf, v - 1)
+    writeBase(table, v, view.repartition(partitions, col("url_hash"))
+      .sortWithinPartitions("url_hash"))
   }
 
   /** Append-only log table written per batch under `<table>/batch=<id>`;
@@ -87,17 +220,14 @@ class StateStore(spark: SparkSession, root: String) {
     write(table, v, graft.operators.QueryPack.latestWins(unioned, keyCols, versionOrder))
   }
 
-  def readLog(table: String, upToBatch: Long): Option[DataFrame] = {
+  /** Read log batches in (afterBatch, upToBatch]. Directory handles closed
+    * even on error (long-running drivers poll logs across thousands of
+    * batches — a leaked stream per call exhausts file descriptors). */
+  def readLog(table: String, upToBatch: Long, afterBatch: Long = Long.MinValue): Option[DataFrame] = {
     val dir = rootPath.resolve(table)
     if (!Files.exists(dir)) return None
-    val parts = Files.list(dir).iterator()
-    var found = List.empty[String]
-    while (parts.hasNext) {
-      val p = parts.next()
-      val name = p.getFileName.toString
-      if (name.startsWith("batch=") && name.drop(6).toLong <= upToBatch)
-        found ::= p.toString
-    }
+    val found = listIds(dir, "batch=", afterBatch, upToBatch)
+      .map(b => dir.resolve(s"batch=$b").toString)
     if (found.isEmpty) None
     else Some(spark.read.option("basePath", dir.toString).parquet(found: _*))
   }

@@ -94,33 +94,45 @@ object FastParse {
     new Result(if (out.indexOf('​') >= 0) out.replace("​", "") else out, links.toArray)
   }
 
-  /** find href="..." / href='...' / href=bare inside tag body [from, to). */
+  /** find the href attribute value inside tag body [from, to).
+    *
+    * Walks attributes left-to-right, skipping other attributes' quoted
+    * values, so 'href' occurring INSIDE a value never matches —
+    * `<a title="see href=http://evil" href="http://real">` yields the real
+    * link. Semantics mirror HtmlDom.parseTag exactly (duplicate attrs: last
+    * wins; quoted/bare values; entity decode), keeping the fast path
+    * byte-identical to the DOM-based extractOutlinks. */
   private def extractHref(s: String, from: Int, to: Int): String = {
     var i = from
+    var href: String = null
     while (i < to) {
-      // find 'href' token case-insensitively
-      if ((s.charAt(i) == 'h' || s.charAt(i) == 'H') && i + 4 <= to &&
-        s.regionMatches(true, i, "href", 0, 4) &&
-        (i == from || Character.isWhitespace(s.charAt(i - 1)))) {
-        var j = i + 4
-        while (j < to && Character.isWhitespace(s.charAt(j))) j += 1
-        if (j < to && s.charAt(j) == '=') {
-          j += 1
-          while (j < to && Character.isWhitespace(s.charAt(j))) j += 1
-          if (j < to && (s.charAt(j) == '"' || s.charAt(j) == '\'')) {
-            val q = s.charAt(j)
-            val end = s.indexOf(q, j + 1)
-            if (end >= 0 && end <= to) return HtmlDom.decodeEntities(s.substring(j + 1, end))
-            return null
+      while (i < to && Character.isWhitespace(s.charAt(i))) i += 1
+      if (i < to) {
+        val nameStart = i
+        while (i < to && s.charAt(i) != '=' && !Character.isWhitespace(s.charAt(i))) i += 1
+        val nameEnd = i
+        while (i < to && Character.isWhitespace(s.charAt(i))) i += 1
+        var value: String = null
+        if (i < to && s.charAt(i) == '=') {
+          i += 1
+          while (i < to && Character.isWhitespace(s.charAt(i))) i += 1
+          if (i < to && (s.charAt(i) == '"' || s.charAt(i) == '\'')) {
+            val q = s.charAt(i)
+            val close = s.indexOf(q, i + 1)
+            val vEnd = if (close >= 0 && close < to) close else to
+            value = s.substring(i + 1, vEnd)
+            i = if (close >= 0 && close < to) close + 1 else to
           } else {
-            val start = j
-            while (j < to && !Character.isWhitespace(s.charAt(j))) j += 1
-            return HtmlDom.decodeEntities(s.substring(start, j))
+            val vStart = i
+            while (i < to && !Character.isWhitespace(s.charAt(i))) i += 1
+            value = s.substring(vStart, i)
           }
-        }
+        } else if (nameEnd > nameStart) value = "" // bare attribute, parseTag: ""
+        if (nameEnd - nameStart == 4 && s.regionMatches(true, nameStart, "href", 0, 4)
+          && value != null)
+          href = value
       }
-      i += 1
     }
-    null
+    if (href == null) null else HtmlDom.decodeEntities(href)
   }
 }

@@ -48,6 +48,21 @@ object ExprImpl {
   def stringToInt(s: UTF8String): Long =
     if (s == null) 0L else TextExtract.stringToInt(s.toString)
 
+  def extractArticleUrl(html: UTF8String): UTF8String =
+    if (html == null) null else UTF8String.fromString(TextExtract.extractArticleUrl(html.toString))
+
+  def extractLocation(html: UTF8String): UTF8String =
+    if (html == null) null else UTF8String.fromString(TextExtract.extractLocation(html.toString))
+
+  def truncationHint(text: UTF8String): Boolean =
+    text != null && TextExtract.hasTruncationHint(text.toString)
+
+  def cleanRepostText(raw: UTF8String): UTF8String =
+    UTF8String.fromString(TextExtract.cleanRepostText(if (raw == null) null else raw.toString))
+
+  def safeFilename(s: UTF8String): UTF8String =
+    if (s == null) null else UTF8String.fromString(TextExtract.safeFilename(s.toString))
+
   def canonicalizeUrl(u: UTF8String): UTF8String =
     if (u == null) null else UTF8String.fromString(graft.crawl.Canonical.canonicalize(u.toString))
 
@@ -129,6 +144,58 @@ case class StringToIntExpr(child: Expression) extends UnaryExpression {
   override def prettyName: String = "string_to_int_cjk"
 }
 
+/** html (string) → headline-article url or '' (weibo.py:1200-1208, X5). */
+case class ExtractArticleUrl(child: Expression) extends UnaryExpression {
+  override def dataType: DataType = StringType
+  override def nullSafeEval(v: Any): Any = ExprImpl.extractArticleUrl(v.asInstanceOf[UTF8String])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.functions.ExprImpl.extractArticleUrl($c)")
+  override protected def withNewChildInternal(c: Expression): ExtractArticleUrl = copy(c)
+  override def prettyName: String = "extract_article_url"
+}
+
+/** html (string) → location text after the location-icon span (weibo.py:1188-1198, X6). */
+case class ExtractLocation(child: Expression) extends UnaryExpression {
+  override def dataType: DataType = StringType
+  override def nullSafeEval(v: Any): Any = ExprImpl.extractLocation(v.asInstanceOf[UTF8String])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.functions.ExprImpl.extractLocation($c)")
+  override protected def withNewChildInternal(c: Expression): ExtractLocation = copy(c)
+  override def prettyName: String = "extract_location"
+}
+
+/** text → is-truncated hint (weibo.py:1286-1297, X11). */
+case class TruncationHint(child: Expression) extends UnaryExpression {
+  override def dataType: DataType = BooleanType
+  override def nullable: Boolean = false
+  override def nullSafeEval(v: Any): Any = ExprImpl.truncationHint(v.asInstanceOf[UTF8String])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.functions.ExprImpl.truncationHint($c)")
+  override protected def withNewChildInternal(c: Expression): TruncationHint = copy(c)
+  override def prettyName: String = "truncation_hint"
+}
+
+/** repost text cleanup (weibo.py:2457-2462, X17): head before '//';
+  * empty/"Repost" → 转发微博. */
+case class CleanRepostText(child: Expression) extends UnaryExpression {
+  override def dataType: DataType = StringType
+  override def nullSafeEval(v: Any): Any = ExprImpl.cleanRepostText(v.asInstanceOf[UTF8String])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.functions.ExprImpl.cleanRepostText($c)")
+  override protected def withNewChildInternal(c: Expression): CleanRepostText = copy(c)
+  override def prettyName: String = "clean_repost_text"
+}
+
+/** safe filename (weibo.py:2291, X14): windows-invalid chars → '_'. */
+case class SafeFilename(child: Expression) extends UnaryExpression {
+  override def dataType: DataType = StringType
+  override def nullSafeEval(v: Any): Any = ExprImpl.safeFilename(v.asInstanceOf[UTF8String])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.functions.ExprImpl.safeFilename($c)")
+  override protected def withNewChildInternal(c: Expression): SafeFilename = copy(c)
+  override def prettyName: String = "safe_filename"
+}
+
 /** URL canonicalization (north rule: seen-set keyed by canonicalized+xxhash64 urls). */
 case class CanonicalizeUrl(child: Expression) extends UnaryExpression {
   override def dataType: DataType = StringType
@@ -158,6 +225,11 @@ object gf {
   def extract_topics(c: Column): Column = column(ExtractTopics(expression(c)))
   def extract_at_users(c: Column): Column = column(ExtractAtUsers(expression(c)))
   def string_to_int_cjk(c: Column): Column = column(StringToIntExpr(expression(c)))
+  def extract_article_url(c: Column): Column = column(ExtractArticleUrl(expression(c)))
+  def extract_location(c: Column): Column = column(ExtractLocation(expression(c)))
+  def truncation_hint(c: Column): Column = column(TruncationHint(expression(c)))
+  def clean_repost_text(c: Column): Column = column(CleanRepostText(expression(c)))
+  def safe_filename(c: Column): Column = column(SafeFilename(expression(c)))
   def canonicalize_url(c: Column): Column = column(CanonicalizeUrl(expression(c)))
   def url_host(c: Column): Column = column(UrlHost(expression(c)))
 }

@@ -31,12 +31,24 @@ object ScalarOps {
   }
 
   /** X16 — parse-coalesce of dates (service.py:450-457, 477-487): first
-    * format that parses wins; null if none. */
+    * format that parses wins; null if none. Includes the raw weibo locale
+    * format the reference actually stores for comments
+    * ('Thu Nov 20 11:39:50 +0800 2025', parsed at util/pdf_exporter.py:473-489). */
   def parseCoalesceTs(c: Column): Column =
     coalesce(
       try_to_timestamp(c, lit("yyyy-MM-dd'T'HH:mm:ss")),
       try_to_timestamp(c, lit("yyyy-MM-dd HH:mm:ss")),
-      try_to_timestamp(c, lit("yyyy-MM-dd")))
+      try_to_timestamp(c, lit("yyyy-MM-dd")),
+      parseWeiboCreatedAt(c))
+
+  /** The raw comment `created_at` locale format
+    * ('%a %b %d %H:%M:%S %z %Y' per util/pdf_exporter.py:486) — zone offset
+    * applied, result in session time (UTC). Spark's (post-3.0) datetime
+    * parser refuses day-of-week fields in PARSE patterns, so the redundant
+    * weekday token is dropped (last 5 space-separated fields) before
+    * parsing 'MMM dd HH:mm:ss Z yyyy'. */
+  def parseWeiboCreatedAt(c: Column): Column =
+    try_to_timestamp(substring_index(c, " ", -5), lit("MMM dd HH:mm:ss Z yyyy"))
 
   /** X2 — comment tag-strip variant (weibo.py:2388-2391): regex tag removal,
     * newline drop, trim (the cheap non-DOM path). */

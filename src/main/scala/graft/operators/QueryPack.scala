@@ -23,15 +23,30 @@ object QueryPack {
       .filter(col(rankName) <= k)
   }
 
-  /** W5 — LIMIT/OFFSET pagination (service.py:3088-3103). Expressed as a
-    * window rank so it composes under a single shuffle; `orderBy().limit()`
-    * alone cannot express the offset without collecting. */
+  /** W5 — LIMIT/OFFSET pagination (service.py:3088-3103).
+    * `orderBy(...).limit(page·size)` plans as TakeOrderedAndProject —
+    * per-partition partial top-k then a driver-side merge of page·size rows —
+    * so the big side never collapses into a single-task global sort (the
+    * un-partitioned `Window.orderBy` shape does exactly that at scale). The
+    * offset is then applied on the bounded ≤ page·size prefix, where a
+    * single-partition window is O(page·size), not O(|table|).
+    * For deep pages prefer [[pageAfter]] (keyset pagination). */
   def paginate(df: DataFrame, order: Seq[Column], page: Int, pageSize: Int): DataFrame = {
+    val prefix = df.orderBy(order: _*).limit(page * pageSize)
     val w = Window.orderBy(order: _*)
-    df.withColumn("_rn", row_number().over(w))
-      .filter(col("_rn").between((page - 1) * pageSize + 1, page.toLong * pageSize))
+    prefix.withColumn("_rn", row_number().over(w))
+      .filter(col("_rn") > (page - 1).toLong * pageSize)
       .drop("_rn")
   }
+
+  /** W5 at scale — keyset pagination: `WHERE key > last_seen ORDER BY key
+    * LIMIT size` is O(size) regardless of page depth (the reference's
+    * OFFSET walk re-reads every earlier page, service.py:3088-3103).
+    * `afterPredicate` encodes the caller's (last_ts, last_id) cursor, e.g.
+    * `ts < lit(t) || (ts === lit(t) && id > lit(i))` for a DESC walk. */
+  def pageAfter(df: DataFrame, order: Seq[Column], afterPredicate: Column,
+      pageSize: Int): DataFrame =
+    df.filter(afterPredicate).orderBy(order: _*).limit(pageSize)
 
   /** W4 — prev/next navigation (service.py:3181-3211, 2564-2638): one window
     * pass replaces the reference's two point queries per row. */
@@ -56,6 +71,28 @@ object QueryPack {
     * CSV header union, weibo.py:1897-1923). */
   def unionFill(a: DataFrame, b: DataFrame): DataFrame =
     a.unionByName(b, allowMissingColumns = true)
+
+  /** §1.1 nested-retweet flatten, variant A (weibo.py:1855-1862): the nested
+    * struct becomes prefixed `<prefix><field>` columns plus `is_original`
+    * (true when no nested row) — the reference's retweet_* CSV expansion. */
+  def flattenStruct(df: DataFrame, structCol: String, prefix: String): DataFrame = {
+    val fields = df.schema(structCol).dataType
+      .asInstanceOf[org.apache.spark.sql.types.StructType].fieldNames
+    fields.foldLeft(df)((d, f) => d.withColumn(prefix + f, col(s"$structCol.$f")))
+      .withColumn("is_original", col(structCol).isNull)
+      .drop(structCol)
+  }
+
+  /** variant B (weibo.py:2197-2226): normalize the nested struct into a
+    * second row + foreign key — parents keep `retweet_id`, each distinct
+    * nested row is emitted once (the SQLite INSERT OR REPLACE second-pass,
+    * weibo.py:2209-2210). Child rows get null for parent-only columns. */
+  def normalizeNested(df: DataFrame, structCol: String, idCol: String): DataFrame = {
+    val parents = df.withColumn("retweet_id", col(s"$structCol.$idCol")).drop(structCol)
+    val children = df.filter(col(structCol).isNotNull)
+      .select(col(s"$structCol.*")).dropDuplicates(idCol)
+    unionFill(parents, children)
+  }
 
   /** Gap-based sessionization (the scheduler-interval semantics of
     * service.py:1279-1288 applied to event streams): a new session starts

@@ -38,6 +38,19 @@ object Dedup {
       .agg(min(col(idCol)).as("keeper_id"), count(lit(1)).as("dup_count"))
       .select(col("keeper_id"), col("dup_count"), col(textCol))
 
+  /** Exact dedup at scale: group on xxhash64(text) so the shuffle carries an
+    * 8-byte key + id per row instead of the full document body — the variant
+    * [[exact]]'s scale note promises. Output drops the text entirely (the
+    * usual ask: keeper ids + dup counts), which is what makes the hash
+    * grouping a real win. xxhash64 collisions (~n²/2^65) would merge two
+    * distinct texts; pipelines that can't tolerate that verify keeper groups
+    * with one extra semi-join on text. */
+  def exactByHash(docs: DataFrame, idCol: String = "doc_id", textCol: String = "text"): DataFrame =
+    docs.select(col(idCol).as("doc_id"), xxhash64(col(textCol)).as("h"))
+      .groupBy(col("h"))
+      .agg(min(col("doc_id")).as("keeper_id"), count(lit(1)).as("dup_count"))
+      .select(col("keeper_id"), col("dup_count"))
+
   /** distinct (doc, token) pairs. */
   private def tokenized(docs: DataFrame, idCol: String, textCol: String): DataFrame =
     docs.select(col(idCol).as("doc_id"), explode(tokens(col(textCol))).as("w")).distinct()
@@ -45,10 +58,27 @@ object Dedup {
   /** Token-level Jaccard candidate pairs with jaccard >= threshold, computed
     * in EXACT integer arithmetic: 10·|∩| >= t10·|∪| (no float drift vs the
     * oracle). Inverted-index self-join — pairs only materialize for docs
-    * sharing at least one token. */
+    * sharing at least one token.
+    *
+    * `maxDf` is the scale guard: a stop-word-grade token with document
+    * frequency d contributes a d² posting-list blowup to the self-join. With
+    * a cap, tokens with df > maxDf are dropped from the token sets first
+    * (the CCNet-style discriminative-token restriction: jaccard is then
+    * measured over rare tokens only — high-df tokens carry no dedup signal
+    * anyway), bounding the join at maxDf² per token. The dropped-token set is
+    * tiny by definition and broadcasts. None = exact semantics (the oracle
+    * path); at 100 TB always set a cap or use [[minhashLshPairs]]. */
   def jaccardPairs(docs: DataFrame, threshold10: Int,
-      idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
-    val tok = tokenized(docs, idCol, textCol)
+      idCol: String = "doc_id", textCol: String = "text",
+      maxDf: Option[Long] = None): DataFrame = {
+    val tokAll = tokenized(docs, idCol, textCol)
+    val tok = maxDf match {
+      case Some(cap) =>
+        val hot = tokAll.groupBy(col("w")).agg(count(lit(1)).as("df"))
+          .filter(col("df") > cap).select("w")
+        tokAll.join(broadcast(hot), Seq("w"), "left_anti")
+      case None => tokAll
+    }
     val sizes = tok.groupBy(col("doc_id")).agg(count(lit(1)).as("sz"))
     val inter = tok.as("a").join(tok.as("b"),
         col("a.w") === col("b.w") && col("a.doc_id") < col("b.doc_id"))

@@ -263,12 +263,18 @@ class CrawlResilienceSpec extends org.scalatest.funsuite.AnyFunSuite {
 
   test("orphan uncommitted version from a crashed batch is invisible and overwritten on retry") {
     val dir = tmp()
-    val cfg = CrawlConfig(defaultHostBudget = 3, shufflePartitions = 4)
+    // compactEvery=1 ⇒ every batch also writes a base snapshot, so the crash
+    // leaves BOTH orphan deltas and an orphan base — the retry must overwrite
+    // all of them (a crashed compaction replays deterministically)
+    val cfg = CrawlConfig(defaultHostBudget = 3, shufflePartitions = 4, compactEvery = 1)
     val eng = new CrawlEngine(spark, pagesDF, dir, cfg)
     eng.initialize(seeds(4)); eng.run(1)
-    // simulate a crash mid-batch-1: partial garbage at v=1, pointer still 0
+    // simulate a crash mid-batch-1: partial garbage deltas + base at batch 1,
+    // pointer still 0
     val garbage = eng.frontier().limit(1)
-    eng.store.write("frontier", 1L, garbage)
+    eng.store.writeDeltaAdds("frontier", 1L, garbage)
+    eng.store.writeDeltaDels("frontier", 1L, eng.frontier().limit(3).select("url_hash"))
+    eng.store.writeBase("seen", 1L, eng.seen().limit(0))
     eng.store.appendLog("fetched", 1L, eng.fetched().get.limit(1))
     assert(eng.store.committedBatch == 0L)
     // reader sees only committed state
@@ -303,6 +309,73 @@ class CrawlResilienceSpec extends org.scalatest.funsuite.AnyFunSuite {
       .groupBy("host", "shard", "batch_id").count()
       .filter(col("count") > 2).count()
     assert(over == 0, "per-shard budget exceeded")
+  }
+}
+
+/** Round-2 scale properties (VERDICT r1 items 1-2): per-batch state writes
+  * are O(batch) — never a rewrite of the full seen/frontier — and the bloom
+  * prefilter is maintained incrementally (one full build, then per-batch
+  * inserts; resume loads the persisted snapshot + replays deltas). */
+class IncrementalStateSpec extends org.scalatest.funsuite.AnyFunSuite {
+  lazy val spark = SparkTestSession.spark
+  import graft.crawl._
+  import spark.implicits._
+  private def tmp(): String = java.nio.file.Files.createTempDirectory("graft_inc").toString
+  val N = 512L
+  lazy val pagesDF = PagesGen.pages(spark, N, partitions = 4).toDF
+  def seeds(k: Int) = PagesGen.seedRows(N, k).map(Seed.tupled)
+
+  test("state writes per batch are O(batch): delta rows == batch work, no base rewrite between compactions") {
+    val dir = tmp()
+    val eng = new CrawlEngine(spark, pagesDF, dir,
+      CrawlConfig(defaultHostBudget = 3, shufflePartitions = 4, compactEvery = 8))
+    eng.initialize(seeds(6))
+    val ms = eng.run(4)
+    ms.foreach { m =>
+      val b = m("batch_id")
+      val seenAdds = spark.read.parquet(s"$dir/seen/delta_add/batch=$b").count()
+      assert(seenAdds == m("scheduled") + m("robots_blocked"),
+        s"batch $b wrote $seenAdds seen rows — state writes must be O(batch), not O(|seen|)")
+    }
+    // 4 batches below compactEvery: only the initial base exists — the full
+    // state was never rewritten
+    assert(new java.io.File(s"$dir/seen/base").list().toSeq == Seq("v=-1"))
+    assert(new java.io.File(s"$dir/frontier/base").list().toSeq == Seq("v=-1"))
+    // arithmetic size maintenance stays exact against the real views
+    assert(ms.last("seen_size") == eng.seen().count())
+    assert(ms.last("frontier_size") == eng.frontier().count())
+  }
+
+  test("compaction folds deltas: views identical with and without it") {
+    val dirA = tmp(); val dirB = tmp()
+    val cfgNo = CrawlConfig(defaultHostBudget = 3, shufflePartitions = 4, compactEvery = 0)
+    val a = new CrawlEngine(spark, pagesDF, dirA, cfgNo); a.initialize(seeds(5)); a.run(5)
+    val b = new CrawlEngine(spark, pagesDF, dirB, cfgNo.copy(compactEvery = 2))
+    b.initialize(seeds(5)); b.run(5)
+    def k(e: CrawlEngine) = e.seen().select("url_hash").collect().map(_.getLong(0)).sorted.toSeq
+    def fr(e: CrawlEngine) = e.frontier().select("url_hash").collect().map(_.getLong(0)).sorted.toSeq
+    assert(k(a) == k(b), "seen view diverges under compaction")
+    assert(fr(a) == fr(b), "frontier view diverges under compaction")
+    assert(new java.io.File(s"$dirB/seen/base").list().length > 1, "compaction never ran")
+  }
+
+  test("bloom lifecycle: one full build, then incremental; resume loads snapshot + replays deltas") {
+    val dir = tmp()
+    val cfg = CrawlConfig(defaultHostBudget = 4, shufflePartitions = 4,
+      bloomMinSeen = 1, compactEvery = 2)
+    val e1 = new CrawlEngine(spark, pagesDF, dir, cfg)
+    e1.initialize(seeds(6))
+    e1.run(4)
+    assert(e1.bloomFullBuilds == 1,
+      s"bloom fully built ${e1.bloomFullBuilds} times — must be once, then per-batch inserts")
+    // resume in a fresh engine: persisted snapshot + delta replay, never a rescan
+    val e2 = new CrawlEngine(spark, pagesDF, dir, cfg)
+    e2.run(3)
+    assert(e2.bloomFullBuilds == 0, "resume re-scanned seen to rebuild the bloom")
+    // correctness unchanged: no url fetched twice across crash+resume
+    assert(e2.fetched().get.groupBy("url_hash").count().filter($"count" > 1).count() == 0)
+    assert(e2.seen().count() ==
+      e2.ledger().get.orderBy($"batch_id".desc).select("seen_size").head.getLong(0))
   }
 }
 

@@ -25,7 +25,13 @@ class FastParseSpec extends AnyFunSuite {
       """<a href="https://x.test/p">l</a><a href='/rel'>r</a><a href=https://y.test/q>b</a>""",
       """<a data-url="https://skip.me" href="https://keep.me/1">t</a>""",
       """<A HREF="https://upper.case/p">u</A>""",
-      "", "<a>no href</a>", "<area href=\"https://not-anchor.test\">")
+      "", "<a>no href</a>", "<area href=\"https://not-anchor.test\">",
+      // 'href' inside ANOTHER attribute's value must not match (quote-aware
+      // attribute walk; ADVICE r1) — and duplicate href: last wins, as the
+      // DOM's attribute map does
+      """<a title="see href=http://evil.example.test/x" href="http://real.example.test/y">t</a>""",
+      """<a href="http://first.test/a" href="http://second.test/b">t</a>""",
+      """<a data-href=http://bare-evil.test href=http://bare-real.test/z x>t</a>""")
     cases.foreach { html =>
       val r = FastParse.parse(html)
       assert(r.text == TextExtract.extractText(html), s"text: [$html]")
