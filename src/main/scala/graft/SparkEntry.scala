@@ -450,6 +450,39 @@ object SparkEntry {
         .select(col("doc_id"), gf.extract_location(col("html")).as("location"))
     }),
 
+    // ---- S9: CSV sink round-trip (write + schema'd read-back) ---------------
+    "q61_csv_roundtrip" -> ((s, dir) => {
+      val out = java.nio.file.Files.createTempDirectory("graft_csv").toString
+      t(s, dir, "documents").select(col("doc_id"), col("lang"), col("n_chars"))
+        .write.mode("overwrite").option("header", "true").csv(out)
+      s.read.option("header", "true")
+        .schema("doc_id BIGINT, lang STRING, n_chars BIGINT").csv(out)
+    }),
+
+    // ---- F1/F5: card-type filter + struct unwrap + pinned skip --------------
+    "q62_card_unwrap" -> ((s, dir) => {
+      // weibo.py:1677-1684: keep card_type 9; unwrap card_type 11 → group[0];
+      // weibo.py:1654-1660: skip pinned cards
+      t(s, dir, "documents")
+        .withColumn("card_type", when(pmod(col("doc_id"), lit(7)) === 0, 11)
+          .when(pmod(col("doc_id"), lit(3)) === 0, 9).otherwise(2))
+        .withColumn("is_pinned", pmod(col("doc_id"), lit(13)) === 0)
+        .withColumn("mblog",
+          when(col("card_type") === 9, struct(col("text").as("t")))
+            .when(col("card_type") === 11, struct(concat(lit("g:"), col("text")).as("t"))))
+        .filter(col("card_type").isin(9, 11) && !col("is_pinned"))
+        .select(col("doc_id"), col("card_type"), col("mblog.t").as("card_text"))
+    }),
+
+    // ---- F6: original-only filter (drop rows having a retweet) --------------
+    "q63_original_only" -> ((s, dir) => {
+      t(s, dir, "documents").select(col("doc_id"))
+        .withColumn("retweet", when(pmod(col("doc_id"), lit(3)) === 0,
+          struct((col("doc_id") + 100000L).as("doc_id"))))
+        .filter(col("retweet").isNull)
+        .select(col("doc_id"))
+    }),
+
     // ---- structured streaming (windowed agg over event-time) ---------------
     "q60_stream_hourly_counts" -> ((s, dir) => {
       val schema = s.read.parquet(s"$dir/events.parquet").schema
@@ -869,6 +902,18 @@ object SparkEntry {
       """SELECT doc_id,
         | CASE WHEN doc_id % 2 = 0 THEN 'city' || (doc_id % 9)::VARCHAR ELSE '' END AS location
         |FROM documents""".stripMargin,
+
+    "q61_csv_roundtrip" ->
+      """SELECT doc_id, lang, n_chars FROM documents""".stripMargin,
+
+    "q62_card_unwrap" ->
+      """SELECT doc_id, CASE WHEN doc_id % 7 = 0 THEN 11 ELSE 9 END AS card_type,
+        | CASE WHEN doc_id % 7 = 0 THEN 'g:' || text ELSE text END AS card_text
+        |FROM documents
+        |WHERE (doc_id % 7 = 0 OR doc_id % 3 = 0) AND doc_id % 13 <> 0""".stripMargin,
+
+    "q63_original_only" ->
+      """SELECT doc_id FROM documents WHERE doc_id % 3 <> 0""".stripMargin,
 
     "q60_stream_hourly_counts" ->
       """SELECT date_trunc('hour', ts) AS window_start, event_type, COUNT(*) AS cnt

@@ -178,8 +178,24 @@ class CrawlEngine(
 
   def frontier(v: Long = store.committedBatch): DataFrame = store.readView("frontier", v, emptyFrontier)
   def seen(v: Long = store.committedBatch): DataFrame = store.readView("seen", v, emptySeen)
-  def fetched(upTo: Long = store.committedBatch): Option[DataFrame] = store.readLog("fetched", upTo)
   def ledger(upTo: Long = store.committedBatch): Option[DataFrame] = store.readLog("ledger", upTo)
+
+  /** Emitted pages with lineage per north rule (partition id, batch id,
+    * fetch ordinal) — a filtered VIEW over the per-batch parsed log (the
+    * batch's single materialization; fetched/deferred/errors are read-time
+    * filters of it, not separate write jobs). */
+  def fetched(upTo: Long = store.committedBatch): Option[DataFrame] =
+    store.readLog("parsed", upTo).map(_.filter($"in_range").select(
+      $"url_canon", $"url_hash", $"host", $"seed_id", $"depth",
+      $"warc_ts", $"lang", $"text_extracted".as("text"),
+      size($"outlinks").as("n_outlinks"),
+      $"batch_id", $"partition_id", $"fetch_ordinal", $"sched_delay_ms"))
+
+  /** too-new pages (traversed but not emitted; re-opened by rotation). */
+  def deferred(upTo: Long = store.committedBatch,
+      afterBatch: Long = Long.MinValue): Option[DataFrame] =
+    store.readLog("parsed", upTo, afterBatch)
+      .map(_.filter($"found" && $"warc_ts" >= $"end_ts"))
 
   /** Request a stop — the `tasks.command = 'STOP'` analog
     * (service.py:1419-1432). Checked between batches. */
@@ -340,21 +356,33 @@ class CrawlEngine(
     val w =
       if (cfg.shardedRanking)
         Window.partitionBy($"host", saltCol)
-          .orderBy($"priority_ts".desc, $"url_canon".asc)
-      else Window.partitionBy($"host").orderBy($"priority_ts".desc, $"url_canon".asc)
-    val ranked = allowed
-      .filter($"depth" <= cfg.maxDepth)
-      .withColumn("fetch_ordinal", row_number().over(w))
-      .join(budgetDf, $"host" === $"b_host", "left_outer")
-      .withColumn("host_budget", coalesce($"b_budget", lit(cfg.defaultHostBudget)))
-      .drop("b_host", "b_budget")
+          .orderBy($"priority_ts".desc, $"url_hash".asc)
+      else Window.partitionBy($"host").orderBy($"priority_ts".desc, $"url_hash".asc)
+    // NARROW ranking: the window shuffle carries only (url_hash, host,
+    // priority_ts) — ~30 bytes/row instead of the full frontier row with two
+    // url strings (~6× the bytes; the rank shuffle was the dominant flat
+    // cost per batch). The budget-surviving keys (bounded by Σ host budgets)
+    // broadcast back onto the frontier scan to recover full rows. Tiebreak
+    // is url_hash — unique and deterministic, so scheduling order stays
+    // partitioning-independent.
+    val eligible = allowed.filter($"depth" <= cfg.maxDepth)
     val effBudget =
       if (cfg.shardedRanking)
         floor($"host_budget" / lit(cfg.saltBuckets)).cast("int") +
           when(saltCol < pmod($"host_budget", lit(cfg.saltBuckets)), 1).otherwise(0)
       else $"host_budget"
-    val scheduled = ranked
+    val rankedKeys = eligible
+      .select($"url_hash", $"host", $"priority_ts")
+      .withColumn("fetch_ordinal", row_number().over(w))
+      .join(budgetDf, $"host" === $"b_host", "left_outer")
+      .withColumn("host_budget", coalesce($"b_budget", lit(cfg.defaultHostBudget)))
       .filter($"fetch_ordinal" <= effBudget)
+      .select($"url_hash", $"fetch_ordinal")
+    // no broadcast hint: with a politeness-bounded batch AQE broadcasts the
+    // key set; with an unbounded bench batch (keys ≈ frontier) it picks a
+    // narrow shuffle join instead of a driver-choking batch-sized broadcast
+    val scheduled = eligible
+      .join(rankedKeys, Seq("url_hash"))
       .withColumn("sched_delay_ms", ($"fetch_ordinal" - 1) * lit(cfg.defaultDelayMs))
 
     // ---- fetch = lookup into the pages corpus (S1 analog; in tests "fetch"
@@ -371,15 +399,28 @@ class CrawlEngine(
     // degrades to two bounded joins instead of silently re-scheduling the
     // missing urls forever (ADVICE r1).
     val pagesSel = pagesByCanon.select($"url_canon", $"page_url", $"warc_ts", $"html", $"text", $"lang")
-    val scheduledCached = if (cfg.broadcastScheduled) Some(scheduled.persist()) else None
-    val schedExact = scheduledCached.map(s => timed("sched_count")(s.count()))
-    val fetchedRaw = scheduledCached match {
-      case Some(s) =>
-        pagesSel.join(broadcast(s), Seq("url_canon")).withColumn("found", lit(true))
-      case None =>
-        scheduled.join(pagesSel, Seq("url_canon"), "left_outer")
+
+    // ---- materialize the scheduled set ONCE, as this batch's lineage log.
+    // The ranking window executes exactly once (into a compact parquet);
+    // every downstream consumer — fetch-join build side, frontier del-keys,
+    // seen adds, exact count, bloom insert — re-reads the columnar file from
+    // page cache instead of re-running the window or pinning a row cache in
+    // executor memory (executor-memory caches of batch data were the main
+    // non-scaling term in the r1 bench: cache serialization is bandwidth-
+    // bound and competes with the parse stage).
+    val schedObs = org.apache.spark.sql.Observation()
+    timed("write_scheduled")(store.appendLog("scheduled", batchId,
+      scheduled.observe(schedObs, count(lit(1)).as("n"))))
+    val schedDf = store.readLog("scheduled", batchId, batchId - 1).get.drop("batch")
+    // exact count piggybacks on the write job (Observation) — no extra action
+    val schedCount = schedObs.get("n").asInstanceOf[Long]
+
+    val fetchedRaw =
+      if (cfg.broadcastScheduled)
+        pagesSel.join(broadcast(schedDf), Seq("url_canon")).withColumn("found", lit(true))
+      else
+        schedDf.join(pagesSel, Seq("url_canon"), "left_outer")
           .withColumn("found", $"page_url".isNotNull)
-    }
 
     // O7/O8 inverted (real fetches only): parallel across hosts, sequential
     // within a (host, salt) shard — pace() repartitions so one task owns each
@@ -390,9 +431,8 @@ class CrawlEngine(
     // Windows are HALF-OPEN [since, end): the reference's inclusive 23:59:59
     // end bound ≡ exclusive next-midnight, and rotation (since := end) then
     // emits a boundary-timestamped page exactly once across windows.
-    // The invariant flag is computed BEFORE persist so the cached projection
-    // can drop html/text — the cache carries ~1KB/row instead of the full
-    // page body (at bench scale the difference is whether it fits in memory).
+    // The projection drops html/text — the written log carries ~1KB/row
+    // instead of the full page body.
     val parsed = paced
       .withColumn("in_range", $"found" && $"warc_ts" >= $"since_ts" && $"warc_ts" < $"end_ts")
       // fused single-pass parse: ONE scan yields text + outlinks (the DOM
@@ -412,86 +452,95 @@ class CrawlEngine(
         $"since_ts", $"end_ts", $"warc_ts", $"lang", $"found", $"in_range",
         $"invariant_ok", $"text_extracted", $"outlinks",
         $"batch_id", $"partition_id", $"fetch_ordinal", $"sched_delay_ms")
-      .persist()
 
-    // single-pass batch metrics (one job, not four — per-batch fixed cost
-    // is the scale killer at high batch rates)
-    val mrow = timed("parse_agg")(parsed.agg(
-      count(lit(1)).as("sched"),
-      sum(when(!$"found", 1L).otherwise(0L)).as("not_found"),
-      sum(when($"in_range", 1L).otherwise(0L)).as("in_range"),
-      sum(when(!$"invariant_ok", 1L).otherwise(0L)).as("viol"),
-      countDistinct($"partition_id").as("nparts")).collect()(0))
+    // ---- the single heavy materialization of the batch: the parsed log IS
+    // the fetched/deferred/errors output (filtered views at read time), the
+    // metrics source, and the discovery input. One parse per page, written
+    // once as columnar parquet; downstream jobs decode only the columns they
+    // need from the page-cache-hot file.
     if (sys.env.contains("GRAFT_EXPLAIN")) {
       println(s"==== batch $batchId: fetch+parse physical plan ====")
       println(org.apache.spark.sql.graftbridge.executedPlanString(parsed))
     }
-    val schedParsed = mrow.getLong(0)
-    val inRange = mrow.getLong(2)
-    val invariantViolations = mrow.getLong(3)
-    val nPartitions = mrow.getLong(4)
+    // batch metrics piggyback on the write job (Observation) — zero extra
+    // passes; per-batch fixed job count is the scale killer at high batch
+    // rates (distinct aggs are disallowed in observe, so partition coverage
+    // uses the approximate counter — it is informational lineage only)
+    val parseObs = org.apache.spark.sql.Observation()
+    timed("write_parsed")(store.appendLog("parsed", batchId, parsed.observe(parseObs,
+      count(lit(1)).as("sched"),
+      sum(when(!$"found", 1L).otherwise(0L)).as("not_found"),
+      sum(when($"in_range", 1L).otherwise(0L)).as("in_range"),
+      sum(when(!$"invariant_ok", 1L).otherwise(0L)).as("viol"),
+      approx_count_distinct($"partition_id").as("nparts"))))
+    val parsedDf = store.readLog("parsed", batchId, batchId - 1).get.drop("batch")
+    val mrow = parseObs.get
+    // sums observe as null on an empty batch
+    def metric(k: String): Long =
+      mrow.get(k).flatMap(Option(_)).fold(0L)(_.asInstanceOf[Long])
+    val schedParsed = metric("sched")
+    val inRange = metric("in_range")
+    val invariantViolations = metric("viol")
+    val nPartitions = metric("nparts")
 
     // BHJ open-corpus recovery: scheduled urls the inner join dropped become
     // NOT_FOUND dead-letter rows and leave the frontier (both joins bounded:
     // the big pages side is scanned via a broadcast-semi, never shuffled).
-    val missingRows: Option[DataFrame] = scheduledCached match {
-      case Some(s) if schedExact.get != schedParsed =>
+    // Only these need their own errors log — the outer-join path's not-found
+    // rows are already in the parsed log with found=false.
+    val missingRows: Option[DataFrame] =
+      if (cfg.broadcastScheduled && schedCount != schedParsed) {
         val matched = pagesSel.select("url_canon")
-          .join(broadcast(s.select("url_canon")), Seq("url_canon"), "left_semi")
-        Some(s.join(broadcast(matched), Seq("url_canon"), "left_anti")
+          .join(broadcast(schedDf.select("url_canon")), Seq("url_canon"), "left_semi")
+        Some(schedDf.join(broadcast(matched), Seq("url_canon"), "left_anti")
           .select($"url_canon", $"url_hash", $"host", $"seed_id", $"depth").persist())
-      case _ => None
-    }
+      } else None
     val missingCount = missingRows.map(_.count()).getOrElse(0L)
-    val schedCount = schedExact.getOrElse(schedParsed)
-    val notFound = mrow.getLong(1) + missingCount
-
-    // lineage per north rule: (partition id, batch id, fetch ordinal)
-    val fetchedOut = parsed.filter($"in_range").select(
-      $"url_canon", $"url_hash", $"host", $"seed_id", $"depth",
-      $"warc_ts", $"lang", $"text_extracted".as("text"),
-      size($"outlinks").as("n_outlinks"),
-      $"batch_id", $"partition_id", $"fetch_ordinal", $"sched_delay_ms")
-
-    // too-new pages: attempted this run, emitted next window after rotation
-    val deferredOut = parsed.filter($"found" && $"warc_ts" >= $"end_ts")
-      .select($"url_canon", $"url_hash", $"host", $"seed_id", $"depth",
-        $"warc_ts", $"since_ts", $"end_ts", $"batch_id")
-
-    lazy val errorsOut = {
-      val fromParsed = parsed.filter(!$"found").select(
-        $"url_canon", $"url_hash", $"host", $"seed_id", $"depth",
-        lit("NOT_FOUND").as("error"), $"batch_id", $"partition_id")
-      missingRows.map(m => fromParsed.unionByName(
-        m.select($"url_canon", $"url_hash", $"host", $"seed_id", $"depth",
-          lit("NOT_FOUND").as("error"), lit(batchId).as("batch_id"),
-          lit(-1).as("partition_id")))).getOrElse(fromParsed)
-    }
+    val notFound = metric("not_found") + missingCount
+    missingRows.foreach(m => store.appendLog("errors", batchId,
+      m.withColumn("error", lit("NOT_FOUND")).withColumn("batch_id", lit(batchId))))
 
     // processed = attempted fetches + robots-blocked (neither returns to the
     // frontier; blocked urls are seen-equivalent: never fetch). All three
-    // inputs are url_hash-unique and pairwise disjoint, so |processed| =
-    // scheduled + blocked exactly — the arithmetic the size caches rely on.
+    // inputs are url_hash-unique and pairwise disjoint — no dedup shuffle
+    // needed, and |processed| = scheduled + blocked exactly (the arithmetic
+    // the size caches rely on).
     val processedRows = {
-      val base = parsed.select($"url_hash", $"url_canon")
+      val base = parsedDf.select($"url_hash", $"url_canon")
         .unionByName(robotsBlocked.select($"url_hash", $"url_canon"))
       missingRows.map(m => base.unionByName(m.select($"url_hash", $"url_canon")))
-        .getOrElse(base).distinct().persist()
+        .getOrElse(base)
     }
     val processedHashes = processedRows.select("url_hash")
 
     // ---- U5: outlink expansion → next frontier entries. Children inherit
     // the seed window; priority = linking page's warc_ts (recency prior).
     // expansion source: every page whose outlinks were extracted (found and
-    // not older than since — includes too-new deferred pages, weibo.py:1700-1718)
-    val discovered = parsed.filter(size($"outlinks") > 0)
+    // not older than since — includes too-new deferred pages, weibo.py:1700-1718).
+    //
+    // Membership filters run BEFORE the first-wins dedup shuffle, so the
+    // shuffle carries only genuinely-new links (in steady state most links
+    // point at already-seen pages — filtering after dedup shuffled them all).
+    // The seen/frontier checks are INVERTED like the candidate resolve: the
+    // bounded link keys broadcast-semi against the big scans, the tiny hit
+    // sets broadcast back — no big-side shuffle anywhere.
+    val linksRaw = parsedDf.filter(size($"outlinks") > 0)
       .select($"seed_id", $"since_ts", $"end_ts", $"depth", $"warc_ts",
         explode($"outlinks").as("url"))
       .withColumn("url_canon", gf.canonicalize_url($"url"))
       .withColumn("url_hash", xxhash64($"url_canon"))
-      .withColumn("host", gf.url_host($"url_canon"))
       .withColumn("child_depth", $"depth" + 1)
       .filter($"child_depth" <= cfg.maxDepth)
+    val linkKeys = linksRaw.select("url_hash") // dups fine for semi probes
+    val seenHit = seenDf.select("url_hash")
+      .join(broadcast(linkKeys), Seq("url_hash"), "left_semi")
+    val frontHit = front.select("url_hash")
+      .join(broadcast(linkKeys), Seq("url_hash"), "left_semi")
+    val newFrontAdds = linksRaw
+      .join(broadcast(processedHashes), Seq("url_hash"), "left_anti")
+      .join(broadcast(seenHit), Seq("url_hash"), "left_anti")
+      .join(broadcast(frontHit), Seq("url_hash"), "left_anti")
+      .withColumn("host", gf.url_host($"url_canon"))
       .withColumn("priority_ts", $"warc_ts")
       .withColumn("discovered_batch", lit(batchId))
       .select($"url", $"url_canon", $"url_hash", $"host", $"child_depth".as("depth"),
@@ -510,21 +559,6 @@ class CrawlEngine(
               expr("parse_url(url_canon, 'PATH')").startsWith(robots("r_prefix")),
             "left_anti")
       })
-      .persist()
-
-    // Frontier adds = discovered minus (processed this batch ∪ already seen ∪
-    // already in frontier). The seen/frontier checks are INVERTED like the
-    // candidate resolve: the bounded discovered keys broadcast-semi against
-    // the big scans, the tiny hit sets broadcast back — no big-side shuffle.
-    val discoveredKeys = discovered.select("url_hash")
-    val seenHit = seenDf.select("url_hash")
-      .join(broadcast(discoveredKeys), Seq("url_hash"), "left_semi")
-    val frontHit = front.select("url_hash")
-      .join(broadcast(discoveredKeys), Seq("url_hash"), "left_semi")
-    val newFrontAdds = discovered
-      .join(broadcast(processedHashes), Seq("url_hash"), "left_anti")
-      .join(broadcast(seenHit), Seq("url_hash"), "left_anti")
-      .join(broadcast(frontHit), Seq("url_hash"), "left_anti")
 
     // seen adds: first-occurrence-wins (weibo.py:1698-1699) holds by
     // construction — processed rows were anti-joined against seen on entry
@@ -537,9 +571,6 @@ class CrawlEngine(
     timed("write_fr_adds")(store.writeDeltaAdds("frontier", batchId, newFrontAdds))
     timed("write_fr_dels")(store.writeDeltaDels("frontier", batchId, processedRows))
     timed("write_seen_adds")(store.writeDeltaAdds("seen", batchId, seenAdds))
-    timed("write_fetched")(store.appendLog("fetched", batchId, fetchedOut))
-    if (notFound > 0) store.appendLog("errors", batchId, errorsOut)
-    store.appendLog("deferred", batchId, deferredOut)
 
     // incremental bloom maintenance: insert ONLY this batch's bounded key set
     // (collect is O(batch)); must precede persistBlobs so a snapshot at this
@@ -579,10 +610,6 @@ class CrawlEngine(
     store.commit(batchId)
     seenSizeCache = newSeenSize
     frontierSizeCache = newFrontierSize
-    parsed.unpersist()
-    discovered.unpersist()
-    processedRows.unpersist()
-    scheduledCached.foreach(_.unpersist())
     missingRows.foreach(_.unpersist())
     if (!cfg.robotsDisallow.isEmpty) robotsBlocked.unpersist()
     metrics
@@ -636,9 +663,9 @@ class CrawlEngine(
       .withColumn("since_ts", $"end_ts")
       .withColumn("end_ts", lit(newEnd))
     val roots = frontierFromSeeds2(rotated)
-    val deferred = store.readLog("deferred", committed, afterBatch = lastRotatedBatch(committed))
+    val deferredKeys = deferred(committed, afterBatch = lastRotatedBatch(committed))
       .map(_.select("url_hash").distinct()).getOrElse(emptySeen.select("url_hash"))
-    val forget = roots.select("url_hash").unionByName(deferred).distinct()
+    val forget = roots.select("url_hash").unionByName(deferredKeys).distinct()
     val newSeen = seen(committed).join(broadcast(forget), Seq("url_hash"), "left_anti")
     val newFrontier = frontier(committed)
       .join(broadcast(roots.select("url_hash")), Seq("url_hash"), "left_anti")
@@ -731,7 +758,8 @@ class CrawlEngine(
         store.appendLog("ledger", store.committedBatch + 1,
           ledgerRow(store.committedBatch + 1, "STOPPED", seenSize(store.committedBatch)))
         continue = false
-      } else if (frontier().isEmpty) {
+      } else if (frontierSize(store.committedBatch) == 0) {
+        // arithmetic size cache — no per-iteration Spark job
         continue = false
       } else {
         out += runBatch()

@@ -94,6 +94,203 @@ object FastParse {
     new Result(if (out.indexOf('​') >= 0) out.replace("​", "") else out, links.toArray)
   }
 
+  // ------------------------------------------------------------------
+  // Byte-level path — the crawl hot path proper. html arrives as a BINARY
+  // parquet column; parsing the UTF-8 bytes directly skips the full-page
+  // String decode (≈3× the page size in char[] allocations), which is the
+  // dominant memory-bandwidth term at high core counts. ASCII structural
+  // bytes ('<', '>', quotes, '&', '@', '#') never occur inside UTF-8
+  // multi-byte sequences, so scanning is byte-exact; text runs are copied as
+  // raw bytes and the output is decoded ONCE per page. Byte-identical to
+  // parse(String) — asserted over the full corpus by FastParseSpec.
+  // ------------------------------------------------------------------
+
+  /** Python str.isspace() byte set for ASCII (0x09-0x0D, 0x1C-0x1F, 0x20). */
+  @inline private def isWsByte(c: Int): Boolean =
+    (c >= 0x09 && c <= 0x0d) || (c >= 0x1c && c <= 0x20)
+
+  private val Utf8 = java.nio.charset.StandardCharsets.UTF_8
+  private val Zwsp = Array[Byte](0xe2.toByte, 0x80.toByte, 0x8b.toByte)
+
+  def parseBytes(b: Array[Byte]): Result = {
+    if (b == null) return new Result(null, Array.empty)
+    // classify: all-ASCII-whitespace page (the <hr> fixture branch), or a
+    // page with non-ASCII bytes and NO ASCII non-ws byte (could be unicode
+    // whitespace-only — rare; delegate to the String path for exactness)
+    var i = 0
+    var asciiNonWs = false
+    var hasNonAscii = false
+    while (i < b.length && !asciiNonWs) {
+      val c = b(i) & 0xff
+      if (c >= 0x80) hasNonAscii = true
+      else if (!isWsByte(c)) asciiNonWs = true
+      i += 1
+    }
+    if (!asciiNonWs) {
+      if (b.length == 0) return new Result("", Array.empty)
+      return if (hasNonAscii) parse(new String(b, Utf8))
+      else new Result(new String(b, Utf8), Array.empty) // pure ws, no zwsp possible
+    }
+
+    val n = b.length
+    val links = ArrayBuffer.empty[String]
+    val out = new java.io.ByteArrayOutputStream(n)
+    var first = true
+    var prevStarts = false
+    var sawZwsp = false
+
+    def indexOfByte(ch: Byte, from: Int): Int = {
+      var j = from
+      while (j < n && b(j) != ch) j += 1
+      if (j < n) j else -1
+    }
+
+    def startsWithAscii(s: String, at: Int): Boolean = {
+      if (at + s.length > n) return false
+      var j = 0
+      while (j < s.length) { if (b(at + j) != s.charAt(j).toByte) return false; j += 1 }
+      true
+    }
+
+    // streaming text-run emitter — byte twin of emit() above. The merge-rule
+    // first-char test works on raw bytes ('@'/'#' are ASCII; a multi-byte
+    // first char can never equal them), except entity-bearing runs which are
+    // decoded first ('&#64;' → '@').
+    def emitB(start: Int, end: Int): Unit = {
+      if (end <= start) return
+      var hasAmp = false
+      var j = start
+      while (j < end) {
+        val c = b(j)
+        if (c == '&') hasAmp = true
+        else if (c == Zwsp(0) && j + 2 < end && b(j + 1) == Zwsp(1) && b(j + 2) == Zwsp(2))
+          sawZwsp = true
+        j += 1
+      }
+      if (hasAmp) {
+        val decoded = HtmlDom.decodeEntities(new String(b, start, end - start, Utf8))
+        if (decoded.isEmpty) return
+        val c0 = decoded.charAt(0)
+        val starts = c0 == '@' || c0 == '#'
+        if (!first && !(prevStarts || starts)) out.write('\n')
+        val enc = decoded.getBytes(Utf8)
+        out.write(enc, 0, enc.length)
+        if (decoded.indexOf('​') >= 0) sawZwsp = true
+        prevStarts = starts; first = false
+      } else {
+        val c0 = b(start)
+        val starts = c0 == '@' || c0 == '#'
+        if (!first && !(prevStarts || starts)) out.write('\n')
+        out.write(b, start, end - start)
+        prevStarts = starts; first = false
+      }
+    }
+
+    i = 0
+    while (i < n) {
+      val lt = indexOfByte('<', i)
+      if (lt < 0) {
+        emitB(i, n)
+        i = n
+      } else {
+        emitB(i, lt)
+        if (startsWithAscii("<!--", lt)) {
+          var e = lt + 4
+          while (e + 2 < n && !(b(e) == '-' && b(e + 1) == '-' && b(e + 2) == '>')) e += 1
+          i = if (e + 2 < n) e + 3 else n
+        } else if (lt + 1 < n && (b(lt + 1) == '!' || b(lt + 1) == '?')) {
+          val e = indexOfByte('>', lt + 1)
+          i = if (e < 0) n else e + 1
+        } else {
+          val gt = tagEndBytes(b, lt + 1)
+          if (gt < 0) i = n
+          else {
+            if (gt - lt > 2 && (b(lt + 1) == 'a' || b(lt + 1) == 'A')
+              && isWsByte(b(lt + 2) & 0xff)) {
+              val href = extractHrefBytes(b, lt + 2, gt)
+              if (href != null && (href.startsWith("http://") || href.startsWith("https://")))
+                links += href
+            }
+            i = gt + 1
+          }
+        }
+      }
+    }
+
+    var bytesOut = out.toByteArray
+    if (sawZwsp) bytesOut = stripZwsp(bytesOut)
+    new Result(new String(bytesOut, Utf8), links.toArray)
+  }
+
+  /** remove every E2 80 8B (zero-width space) sequence. */
+  private def stripZwsp(a: Array[Byte]): Array[Byte] = {
+    val o = new java.io.ByteArrayOutputStream(a.length)
+    var j = 0
+    while (j < a.length) {
+      if (j + 2 < a.length && a(j) == Zwsp(0) && a(j + 1) == Zwsp(1) && a(j + 2) == Zwsp(2)) j += 3
+      else { o.write(a(j)); j += 1 }
+    }
+    o.toByteArray
+  }
+
+  /** byte twin of HtmlDom.tagEnd: '>' terminates, quoted values skipped. */
+  private def tagEndBytes(b: Array[Byte], from: Int): Int = {
+    var j = from
+    val n = b.length
+    while (j < n) {
+      val c = b(j)
+      if (c == '>') return j
+      if (c == '"' || c == '\'') {
+        var k = j + 1
+        while (k < n && b(k) != c) k += 1
+        if (k >= n) return -1
+        j = k + 1
+      } else j += 1
+    }
+    -1
+  }
+
+  /** byte twin of extractHref: attribute walk, quote-aware, last href wins. */
+  private def extractHrefBytes(b: Array[Byte], from: Int, to: Int): String = {
+    var j = from
+    var hrefStart = -1
+    var hrefEnd = -1
+    var hasHref = false
+    while (j < to) {
+      while (j < to && isWsByte(b(j) & 0xff)) j += 1
+      if (j < to) {
+        val nameStart = j
+        while (j < to && b(j) != '=' && !isWsByte(b(j) & 0xff)) j += 1
+        val nameEnd = j
+        while (j < to && isWsByte(b(j) & 0xff)) j += 1
+        var vStart = -1
+        var vEnd = -1
+        if (j < to && b(j) == '=') {
+          j += 1
+          while (j < to && isWsByte(b(j) & 0xff)) j += 1
+          if (j < to && (b(j) == '"' || b(j) == '\'')) {
+            val q = b(j)
+            var k = j + 1
+            while (k < to && b(k) != q) k += 1
+            vStart = j + 1; vEnd = k
+            j = if (k < to) k + 1 else to
+          } else {
+            vStart = j
+            while (j < to && !isWsByte(b(j) & 0xff)) j += 1
+            vEnd = j
+          }
+        } else if (nameEnd > nameStart) { vStart = nameEnd; vEnd = nameEnd } // bare: ""
+        if (nameEnd - nameStart == 4 && vStart >= 0 &&
+          (b(nameStart) | 0x20) == 'h' && (b(nameStart + 1) | 0x20) == 'r' &&
+          (b(nameStart + 2) | 0x20) == 'e' && (b(nameStart + 3) | 0x20) == 'f') {
+          hrefStart = vStart; hrefEnd = vEnd; hasHref = true
+        }
+      }
+    }
+    if (!hasHref) null
+    else HtmlDom.decodeEntities(new String(b, hrefStart, hrefEnd - hrefStart, Utf8))
+  }
+
   /** find the href attribute value inside tag body [from, to).
     *
     * Walks attributes left-to-right, skipping other attributes' quoted

@@ -19,10 +19,11 @@ object ExprImpl {
   def extractText(html: UTF8String): UTF8String =
     if (html == null) null else UTF8String.fromString(TextExtract.extractText(html.toString))
 
-  /** single-pass (text, outlinks) — the crawl hot path; see FastParse. */
+  /** single-pass (text, outlinks) — the crawl hot path; byte-level scan, no
+    * full-page String decode (see FastParse.parseBytes). */
   def extractParsedBin(html: Array[Byte]): org.apache.spark.sql.catalyst.InternalRow = {
     if (html == null) return null
-    val r = FastParse.parse(new String(html, java.nio.charset.StandardCharsets.UTF_8))
+    val r = FastParse.parseBytes(html)
     new org.apache.spark.sql.catalyst.expressions.GenericInternalRow(Array[Any](
       if (r.text == null) null else UTF8String.fromString(r.text),
       new GenericArrayData(r.outlinks.map(UTF8String.fromString): Array[Any])))

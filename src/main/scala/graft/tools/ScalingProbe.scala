@@ -5,33 +5,60 @@ object ScalingProbe {
     val cpus = args(0).toInt
     val n = args(1).toLong
     val rep = args(2).toInt
-    val s = SparkSession.builder().master(s"local[$cpus]")
+    val mode = if (args.length > 3) args(3) else "all" // all | parse
+    // GRAFT_MASTER overrides the master — e.g. local-cluster[4,8,8192]
+    // launches 4 REAL executor JVMs with 8 cores each (the in-sandbox
+    // equivalent of spark-submit on a 4-node standalone cluster; each
+    // executor gets its own heap + GC, unlike local[32]'s single JVM).
+    val master = sys.env.getOrElse("GRAFT_MASTER", s"local[$cpus]")
+    val b = SparkSession.builder().master(master)
       .config("spark.sql.shuffle.partitions", cpus.toString)
       .config("spark.sql.adaptive.enabled", "true")
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
       .config("spark.driver.memory", "48g")
-      .getOrCreate()
+    if (master.startsWith("local-cluster")) {
+      b.config("spark.executor.extraClassPath", "/root/repo/target/scala-2.13/classes")
+        .config("spark.executor.memory",
+          sys.env.getOrElse("GRAFT_EXECUTOR_MEM", "7g"))
+    }
+    val s = b.getOrCreate()
     s.sparkContext.setLogLevel("WARN")
-    // untimed warmup: a small crawl compiles the hot paths (whole-stage
-    // codegen, parser JIT, parquet decode) so the timed run measures the
-    // steady state, not cold-JVM compilation
-    graft.Bench.crawlBench(s, 50000L, cpus, 1, rep)
-    val (f, dt) = graft.Bench.crawlBench(s, n, cpus, 2, rep)
-    println(f"PROBE cpus=$cpus fetched=$f sec=$dt%.2f tp=${f / dt}%.0f")
-
-    // fetch+parse stage in isolation (corpus scan → fused parse → agg):
-    // the per-page compute path without scheduling/commit orchestration
+    // GRAFT_STAGES=1: per-stage wall vs summed-executor time — shows which
+    // stages parallelize and where driver/serial time hides between stages
+    if (sys.env.contains("GRAFT_STAGES")) {
+      s.sparkContext.addSparkListener(new org.apache.spark.scheduler.SparkListener {
+        override def onStageCompleted(
+            sc: org.apache.spark.scheduler.SparkListenerStageCompleted): Unit = {
+          val i = sc.stageInfo
+          val wall = (i.completionTime.getOrElse(0L) - i.submissionTime.getOrElse(0L)) / 1e3
+          val cpu = i.taskMetrics.executorRunTime / 1e3
+          if (wall > 0.15)
+            println(f"STAGE ${i.stageId}%4d tasks=${i.numTasks}%4d wall=$wall%6.2f cpuSum=$cpu%7.2f ${i.name.take(60)}")
+        }
+      })
+    }
     import org.apache.spark.sql.functions._
     import s.implicits._
-    val corpusDf = graft.Bench.corpus(s, n, rep)
-    corpusDf.count() // warm file listing
-    val t0 = System.nanoTime()
-    val parsedChars = corpusDf
-      .select(graft.functions.gf.extract_parsed($"html").as("p"))
-      .agg(sum(length($"p.text")), sum(size($"p.outlinks"))).collect()(0)
-    val pdt = (System.nanoTime() - t0) / 1e9
-    println(f"PROBE2 cpus=$cpus pages=$n sec=$pdt%.2f tp=${n / pdt}%.0f chars=${parsedChars.getLong(0)}")
+    if (mode == "all") {
+      // untimed warmup: a small crawl compiles the hot paths (whole-stage
+      // codegen, parser JIT, parquet decode) so the timed run measures the
+      // steady state, not cold-JVM compilation
+      graft.Bench.crawlBench(s, 50000L, cpus, 1, rep)
+      val (f, dt) = graft.Bench.crawlBench(s, n, cpus, 2, rep)
+      println(f"PROBE cpus=$cpus fetched=$f sec=$dt%.2f tp=${f / dt}%.0f")
+
+      // fetch+parse stage in isolation (corpus scan → fused parse → agg):
+      // the per-page compute path without scheduling/commit orchestration
+      val corpusDf = graft.Bench.corpus(s, n, rep)
+      corpusDf.count() // warm file listing
+      val t0 = System.nanoTime()
+      val parsedChars = corpusDf
+        .select(graft.functions.gf.extract_parsed($"html").as("p"))
+        .agg(sum(length($"p.text")), sum(size($"p.outlinks"))).collect()(0)
+      val pdt = (System.nanoTime() - t0) / 1e9
+      println(f"PROBE2 cpus=$cpus pages=$n sec=$pdt%.2f tp=${n / pdt}%.0f chars=${parsedChars.getLong(0)}")
+    }
 
     // parse compute alone: realistic 30KB pages, memory-resident input
     // (no disk, no shuffle) — the per-core parser scaling ceiling

@@ -275,7 +275,7 @@ class CrawlResilienceSpec extends org.scalatest.funsuite.AnyFunSuite {
     eng.store.writeDeltaAdds("frontier", 1L, garbage)
     eng.store.writeDeltaDels("frontier", 1L, eng.frontier().limit(3).select("url_hash"))
     eng.store.writeBase("seen", 1L, eng.seen().limit(0))
-    eng.store.appendLog("fetched", 1L, eng.fetched().get.limit(1))
+    eng.store.appendLog("parsed", 1L, eng.fetched().get.limit(1))
     assert(eng.store.committedBatch == 0L)
     // reader sees only committed state
     assert(eng.frontier().count() > 1)

@@ -14,6 +14,24 @@ class FastParseSpec extends AnyFunSuite {
       val r = FastParse.parse(html)
       assert(r.text == TextExtract.extractText(html), s"text diverges at i=$i html=$html")
       assert(r.outlinks.toSeq == TextExtract.extractOutlinks(html), s"links diverge at i=$i")
+      // the byte-level hot path must be byte-identical to both
+      val rb = FastParse.parseBytes(html.getBytes("UTF-8"))
+      assert(rb.text == r.text, s"byte-path text diverges at i=$i")
+      assert(rb.outlinks.toSeq == r.outlinks.toSeq, s"byte-path links diverge at i=$i")
+    }
+  }
+
+  test("parseBytes golden edge cases match parse(String)") {
+    val cases = Seq(
+      "  \t ", "", "​", "a​b", "＃全角", "x&#8203;y", "&#64;user tail",
+      "<span>@名前</span>後", "#话题#<b>t</b>", "　　", " 　 ",
+      """<a href="https://x.test/p?q=1&amp;r=2">l</a>""",
+      """<a HREF='https://y.test/«utf8»'>m</a>""")
+    cases.foreach { html =>
+      val a = FastParse.parse(html)
+      val c = FastParse.parseBytes(html.getBytes("UTF-8"))
+      assert(c.text == a.text, s"text: [$html]")
+      assert(c.outlinks.toSeq == a.outlinks.toSeq, s"links: [$html]")
     }
   }
 

@@ -51,6 +51,48 @@ class PipelineSpec extends AnyFunSuite {
     assert(nd.contains((0L, 1L, 0L)))
   }
 
+  test("exactByHash matches exact dedup keepers/counts without shuffling text") {
+    val byHash = Dedup.exactByHash(docs).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toMap
+    val byText = Dedup.exact(docs).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toMap
+    assert(byHash == byText)
+  }
+
+  test("jaccard df-cap bounds the candidate blowup on stop-word-heavy corpora") {
+    // every doc shares the stop token 'the' — the uncapped inverted index
+    // materializes all ~n²/2 pairs (VERDICT r1 scale caveat)
+    val stopHeavy = (0L until 60L)
+      .map(i => (i, s"the unique$i token$i extra${i % 7}")).toDF("doc_id", "text")
+    val uncapped = Dedup.jaccardPairs(stopHeavy, threshold10 = 0).count()
+    val capped = Dedup.jaccardPairs(stopHeavy, threshold10 = 0, maxDf = Some(10)).count()
+    assert(uncapped == 60L * 59 / 2, s"every pair shares 'the': got $uncapped")
+    assert(capped < uncapped / 5, s"df-cap failed to bound candidates: $capped vs $uncapped")
+  }
+
+  // ---------- U2: LLM enrichment stage ----------
+  test("enrich: batched partition-local client adds a deterministic llm_analysis struct") {
+    val d = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    val out = Enrich.enrichDf(d).persist()
+    assert(out.schema("llm_analysis").dataType
+      .isInstanceOf[org.apache.spark.sql.types.StructType])
+    // deterministic across runs + partitionings
+    val a = out.select($"doc_id", $"llm_analysis.sentiment").collect()
+      .map(r => (r.getLong(0), r.getString(1))).sorted.toSeq
+    val b = Enrich.enrichDf(d.repartition(7)).select($"doc_id", $"llm_analysis.sentiment")
+      .collect().map(r => (r.getLong(0), r.getString(1))).sorted.toSeq
+    assert(a == b, "enrichment depends on partitioning")
+    // stub law: sentiment = word-count mod 3
+    val bad = out
+      .withColumn("wc", size(filter(split($"text", " "), w => w =!= "")))
+      .withColumn("want",
+        when(pmod($"wc", lit(3)) === 0, "positive")
+          .when(pmod($"wc", lit(3)) === 1, "neutral").otherwise("negative"))
+      .filter($"llm_analysis.sentiment" =!= $"want").count()
+    assert(bad == 0)
+    out.unpersist()
+  }
+
   test("simhash pigeonhole bucketing finds every pair a full cross join would (dist<=3)") {
     val bigger = (0L until 64L).map(i => (i, s"tok${i % 7} alpha beta gamma tok${i % 5}")).toDF("doc_id", "text")
     val bucketed = Dedup.simhashNearDups(bigger, 3).collect()

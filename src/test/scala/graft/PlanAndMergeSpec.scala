@@ -46,6 +46,20 @@ class PlanAndMergeSpec extends AnyFunSuite {
     assert(aggPlan.contains("HashAggregate"), aggPlan.take(1000))
   }
 
+  test("W5: paginate plans as TakeOrderedAndProject — no single-partition global sort") {
+    val plan = planOf(SparkEntry.queries("q08_orders_page3")(spark, sf))
+    assert(plan.contains("TakeOrderedAndProject"), plan.take(2000))
+  }
+
+  test("W3/ANN: rank filter pushes down to WindowGroupLimit (per-partition partial top-k)") {
+    // regression lock for the partial-top-k optimization (VERDICT r1 item 10):
+    // without WindowGroupLimit every group's full row set sorts in the window
+    val topk = planOf(SparkEntry.queries("q02_topk_orders_per_cust")(spark, sf))
+    assert(topk.contains("WindowGroupLimit"), topk.take(2000))
+    val ann = planOf(SparkEntry.queries("q25_ann_brute_topk")(spark, sf))
+    assert(ann.contains("WindowGroupLimit"), ann.take(2000))
+  }
+
   test("ScalarOps: relative dates anchored, not wall-clock (X9)") {
     val anchor = lit(java.sql.Timestamp.valueOf("2025-01-01 00:00:00"))
     val r = Seq("刚刚", "5分钟前", "2小时前", "昨天 12:00", "2024-06-01 08:30:00")
