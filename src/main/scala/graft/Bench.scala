@@ -130,19 +130,13 @@ object Bench {
     val bodyRepeat = sys.env.getOrElse("SPARK_GRAFT_BODY_REPEAT", "50").toInt
     val skipScaling = sys.env.contains("SPARK_GRAFT_SKIP_SCALING")
 
-    // ---- phase 1: query pack on sfDir
+    // ---- phase 1: generate shared corpora once (the child JVMs read them).
+    // Scaling runs BEFORE the query pack: a query-warmed 64 GB-heap parent
+    // measurably degrades a 32-core child (~1.7× on this box — the 8-core
+    // child has idle-core headroom, biasing the ratio), so the children get
+    // the quiet machine and the headline crawl comes from the pinned
+    // 32-core child, not an in-session run.
     var spark = session(cpus)
-    val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
-      val t0 = System.nanoTime()
-      try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
-      name -> (System.nanoTime() - t0) / 1e9
-    }
-    val queriesTotal = results.map(_._2).sum
-
-    // ---- phase 2: generate shared corpora once (the child JVMs read them).
-    // The headline crawl numbers come from the pinned 32-core child below —
-    // a fresh JVM, not this query-warmed session (whose heap state adds
-    // minutes of noise to a ~minute crawl).
     corpus(spark, benchPages, bodyRepeat).count()
     corpus(spark, 200000, 250).count() // PROBE3 corpus — generate once at full width
     val inSession: Option[(Long, Double)] =
@@ -150,7 +144,7 @@ object Bench {
       else None
     spark.stop()
 
-    // ---- phase 3: scaling evidence — same job, same corpus, N vs 4N cores.
+    // ---- phase 2: scaling evidence — same job, same corpus, N vs 4N cores.
     // Each level runs in its OWN child JVM pinned with -XX:ActiveProcessorCount
     // so local[8] is a true quarter-machine (GC/JIT/IO pools included) —
     // otherwise the 8-core run borrows the other 24 cores for JVM services
@@ -193,6 +187,17 @@ object Bench {
         s""""parse_1x8jvm_tp":${r1(solo)},"parse_4x8jvm_agg_tp":${r1(fourAgg)},""" +
         s""""multiproc_efficiency":${r3(effMp)}}"""
     }
+
+    // ---- phase 3: query pack on sfDir (after scaling — its 64 GB-heap
+    // session would otherwise degrade the 32-core children)
+    spark = session(cpus)
+    val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
+      val t0 = System.nanoTime()
+      try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
+      name -> (System.nanoTime() - t0) / 1e9
+    }
+    val queriesTotal = results.map(_._2).sum
+    spark.stop()
 
     val (fetchedC, dtC) = crawlHeadline
     val qs = results.map { case (k, v) => "\"" + k + "\":" + r3(v) }.mkString("{", ",", "}")

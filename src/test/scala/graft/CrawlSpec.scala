@@ -379,6 +379,82 @@ class IncrementalStateSpec extends org.scalatest.funsuite.AnyFunSuite {
   }
 }
 
+/** Round-2 semantics locks: half-open windows, BHJ open-corpus recovery,
+  * exact politeness-budget split under sharded ranking. */
+class WindowAndGuardSpec extends org.scalatest.funsuite.AnyFunSuite {
+  lazy val spark = SparkTestSession.spark
+  import graft.crawl._
+  import spark.implicits._
+  private def tmp(): String = java.nio.file.Files.createTempDirectory("graft_wg").toString
+
+  test("half-open window: a page with warc_ts == end emits exactly once, in the NEXT window") {
+    val base = PagesGen.BaseTsMillis
+    def mk(url: String, ts: Long, html: String) =
+      Page(url, new java.sql.Timestamp(ts), html.getBytes("UTF-8"),
+        TextExtract.extractText(html), "en")
+    val u0 = "https://hb.example.test/u/0/p/0" // newest (root — the timeline head)
+    val u1 = "https://hb.example.test/u/0/p/1" // older; warc_ts == window A's end
+    val endA = base - 3600_000L
+    val pages = Seq(
+      mk(u0, base, s"""<a href="$u1">next</a>root"""),
+      mk(u1, endA, "boundary page")).toDF
+    val eng = new CrawlEngine(spark, pages, tmp(),
+      CrawlConfig(shufflePartitions = 2, maxDepth = 4))
+    eng.initialize(Seq(Seed("s", u0,
+      new java.sql.Timestamp(base - 7200_000L), new java.sql.Timestamp(endA))))
+    eng.run(4)
+    // window A [base-2h, base-1h): root is too new (deferred), the boundary
+    // page's warc_ts == end is OUTSIDE the half-open window — also deferred.
+    // Under the old inclusive-end semantics it would emit here AND again
+    // after rotation (since := end) — the double-emission ADVICE r1 flags.
+    assert(eng.fetched().get.count() == 0,
+      "warc_ts == end must NOT emit in the half-open window")
+    eng.rotateWindows(new java.sql.Timestamp(base + 3600_000L))
+    eng.run(4)
+    val all = eng.fetched().get
+    assert(all.filter($"url_canon".endsWith("/p/1")).count() == 1,
+      "boundary page emits exactly once, in window B (since := old end, inclusive)")
+    assert(all.filter($"url_canon".endsWith("/p/0")).count() == 1)
+    assert(all.groupBy("url_hash").count().filter($"count" > 1).count() == 0)
+  }
+
+  test("broadcastScheduled on an OPEN corpus: missing urls dead-letter and leave the frontier") {
+    val N = 256L
+    val pages = PagesGen.pages(spark, N, 4).toDF
+    val open = pages.filter(!col("url").endsWith("/p/2")) // break the chains
+    val eng = new CrawlEngine(spark, open, tmp(),
+      CrawlConfig(defaultHostBudget = 4, maxDepth = 32, shufflePartitions = 4,
+        broadcastScheduled = true))
+    eng.initialize(PagesGen.seedRows(N, 3).map(Seed.tupled))
+    val ms = eng.run(6)
+    assert(ms.map(_("not_found")).sum > 0, "missing urls must be detected")
+    val errs = eng.store.readLog("errors", Long.MaxValue)
+    assert(errs.isDefined && errs.get.filter($"error" === "NOT_FOUND").count() > 0,
+      "BHJ-dropped urls must be recovered as dead-letter rows (ADVICE r1)")
+    // none of them linger in the frontier (the silent-reschedule-forever bug)
+    val lingering = eng.frontier()
+      .join(errs.get.select("url_hash"), Seq("url_hash"), "left_semi").count()
+    assert(lingering == 0)
+    // arithmetic size maintenance stays exact with the recovery in play
+    assert(ms.last("seen_size") == eng.seen().count())
+    assert(ms.last("frontier_size") == eng.frontier().count())
+  }
+
+  test("sharded ranking with budget % saltBuckets != 0: per-host total == host_budget, never over") {
+    val N = 512L
+    val pages = PagesGen.pages(spark, N, 4).toDF
+    val eng = new CrawlEngine(spark, pages, tmp(),
+      CrawlConfig(defaultHostBudget = 5, saltBuckets = 8, maxDepth = 16,
+        shufflePartitions = 4, shardedRanking = true))
+    eng.initialize(PagesGen.seedRows(N, 6).map(Seed.tupled))
+    eng.run(3)
+    // scheduled log = exactly what the politeness cap governs
+    val sched = eng.store.readLog("scheduled", Long.MaxValue).get
+    val over = sched.groupBy($"host", $"batch").count().filter($"count" > 5).count()
+    assert(over == 0, "per-host politeness budget exceeded (ceil-overshoot bug, ADVICE r1)")
+  }
+}
+
 /** M3 — cursor rotation (since := end, end := now; weibo.py:2814-2817) with
   * deferred too-new pages emitted exactly once in the next window. */
 class RotationSpec extends org.scalatest.funsuite.AnyFunSuite {
