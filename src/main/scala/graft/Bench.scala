@@ -152,6 +152,7 @@ object Bench {
     def r1(x: Double) = math.round(x * 10) / 10.0
     def r3(x: Double) = math.round(x * 1000) / 1000.0
     var scalingJson = ""
+    var scalingLine = ""
     var crawlHeadline: (Long, Double) = inSession.getOrElse((0L, 1.0))
     if (!skipScaling) {
       // INTERLEAVED best-of-3 per level: the shared host's noise windows
@@ -186,6 +187,10 @@ object Bench {
         s""""parse_efficiency":${r3(effParse)},""" +
         s""""parse_1x8jvm_tp":${r1(solo)},"parse_4x8jvm_agg_tp":${r1(fourAgg)},""" +
         s""""multiproc_efficiency":${r3(effMp)}}"""
+      scalingLine = s""","scaling":{"sec_8":${r1(r8.sec)},"tp_8":${r1(tp8)},""" +
+        s""""sec_32":${r1(r32.sec)},"tp_32":${r1(tp32)},""" +
+        s""""efficiency_8_to_32":${r3(eff)},"stage_efficiency":${r3(effStage)},""" +
+        s""""parse_efficiency":${r3(effParse)},"multiproc_efficiency":${r3(effMp)}}"""
     }
 
     // ---- phase 3: query pack on sfDir (after scaling — its 64 GB-heap
@@ -200,15 +205,20 @@ object Bench {
     spark.stop()
 
     val (fetchedC, dtC) = crawlHeadline
-    val qs = results.map { case (k, v) => "\"" + k + "\":" + r3(v) }.mkString("{", ",", "}")
+    def qjson(key: String => String, round: Double => Double) =
+      results.map { case (k, v) => "\"" + key(k) + "\":" + round(v) }.mkString("{", ",", "}")
     val total = queriesTotal + dtC
-    val json = s"""{"metric":"total","value":${r1(total)},"unit":"sec","queries":$qs,"sf":"$sfDir"""" +
-      s""","crawl":{"pages":$benchPages,"fetched":$fetchedC,"sec":${r1(dtC)},"urls_per_sec":${r1(fetchedC / dtC)}}""" +
-      scalingJson + "}"
-    // dedicated machine-readable copy (the sbt-log tail can truncate long
-    // lines); the stdout line below stays the harness contract
-    try java.nio.file.Files.writeString(java.nio.file.Paths.get("BENCH_LOCAL.json"), json + "\n")
+    def assemble(qs: String, scaling: String) =
+      s"""{"metric":"total","value":${r1(total)},"unit":"sec","queries":$qs,"sf":"$sfDir"""" +
+        s""","crawl":{"pages":$benchPages,"fetched":$fetchedC,"sec":${r1(dtC)},"urls_per_sec":${r1(fetchedC / dtC)}}""" +
+        scaling + "}"
+    // full-detail machine-readable copy; the stdout line is the harness
+    // contract and must fit the harness's 2000-char log-tail window, so it
+    // uses the (unique) qNN key prefixes, 2-decimal seconds, and
+    // efficiency-only scaling — full names/precision/raw tps live in the file
+    try java.nio.file.Files.writeString(
+      java.nio.file.Paths.get("BENCH_LOCAL.json"), assemble(qjson(identity, r3), scalingJson) + "\n")
     catch { case _: Throwable => }
-    println(json)
+    println(assemble(qjson(_.split("_")(0), x => math.round(x * 100) / 100.0), scalingLine))
   }
 }

@@ -209,6 +209,25 @@ object SparkEntry {
         .select(col("event_id"), col("raw"), col("parsed"))
     }),
 
+    "q48_media_url_coalesce" -> ((s, dir) => {
+      // X7 (weibo.py:896-928): video url = coalesce over quality-keyed
+      // candidates in the page_info struct; pics = ','-joined url array
+      val id = col("doc_id").cast("string")
+      t(s, dir, "documents")
+        .withColumn("page_info", struct(
+          when(pmod(col("doc_id"), lit(5)) === 0,
+            concat(lit("https://v.example.test/hd/"), id)).as("mp4_hd_url"),
+          when(pmod(col("doc_id"), lit(5)) <= 1,
+            concat(lit("https://v.example.test/sd/"), id)).as("mp4_sd_url"),
+          when(pmod(col("doc_id"), lit(5)) < 4,
+            concat(lit("https://v.example.test/stream/"), id)).as("stream_url")))
+        .withColumn("video_url", coalesce(col("page_info.mp4_hd_url"),
+          col("page_info.mp4_sd_url"), col("page_info.stream_url"), lit("")))
+        .withColumn("pics", concat_ws(",",
+          array(concat(lit("p"), id, lit("-1.jpg")), concat(lit("p"), id, lit("-2.jpg")))))
+        .select(col("doc_id"), col("video_url"), col("pics"))
+    }),
+
     "q45_parts_per_supplier" -> ((s, dir) => {
       t(s, dir, "lineitem").groupBy(col("l_suppkey"))
         .agg(countDistinct(col("l_partkey")).as("n_parts"),
@@ -651,6 +670,15 @@ object SparkEntry {
         |      WHEN event_id % 3 = 1 THEN strftime(ts, '%Y-%m-%d %H:%M:%S')
         |      ELSE strftime(ts, '%Y-%m-%d') END, '%Y-%m-%d')) AS parsed
         |FROM events""".stripMargin,
+
+    "q48_media_url_coalesce" ->
+      """SELECT doc_id,
+        | CASE WHEN doc_id % 5 = 0 THEN 'https://v.example.test/hd/' || doc_id
+        |      WHEN doc_id % 5 <= 1 THEN 'https://v.example.test/sd/' || doc_id
+        |      WHEN doc_id % 5 < 4 THEN 'https://v.example.test/stream/' || doc_id
+        |      ELSE '' END AS video_url,
+        | 'p' || doc_id || '-1.jpg,p' || doc_id || '-2.jpg' AS pics
+        |FROM documents""".stripMargin,
 
     "q45_parts_per_supplier" ->
       """SELECT l_suppkey, CAST(COUNT(DISTINCT l_partkey) AS BIGINT) AS n_parts,

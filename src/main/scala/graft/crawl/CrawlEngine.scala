@@ -700,6 +700,20 @@ class CrawlEngine(
       .withColumn("discovered_batch", lit(-1L))
       .select(emptyFrontier.columns.map(col): _*)
 
+  /** State GC — the Iceberg expire_snapshots analog (call between runs or
+    * from a maintenance schedule): drops every state file superseded by the
+    * newest committed base snapshots. Resume and all reads at the current
+    * committed batch are unaffected; only time-travel to pre-compaction
+    * batches is given up. The 7-day result-TTL sweeper of the reference
+    * (service.py:2837-2874) is the closest analog. */
+  def expireOldState(): Unit = {
+    val committed = store.committedBatch
+    store.expireBefore("frontier", committed)
+    store.expireBefore("seen", committed)
+    store.expireSnapshotsBefore("bloom", committed)
+    store.expireSnapshotsBefore("seeds", committed)
+  }
+
   /** Post-run materialized summary (S17 analog: the reference pre-builds
     * task/schedule result caches after each run, service.py:580-964,
     * 967-1024): per-host and per-seed rollups of everything fetched so far,

@@ -220,6 +220,37 @@ class StateStore(spark: SparkSession, root: String) {
     write(table, v, graft.operators.QueryPack.latestWins(unioned, keyCols, versionOrder))
   }
 
+  private def deleteRecursively(p: Path): Unit = if (Files.exists(p)) {
+    val st = Files.walk(p)
+    try st.sorted(java.util.Comparator.reverseOrder[Path]())
+      .forEach(f => Files.deleteIfExists(f))
+    finally st.close()
+  }
+
+  /** Iceberg `expire_snapshots` analog for a delta table: delete everything
+    * superseded by the newest base snapshot at or before `v` (pass the
+    * committed batch). Keeps that base, deltas after it, and append-only
+    * logs (lineage). Gives up time-travel earlier than the kept base —
+    * exactly the expire contract; without it a 10^10-row state would retain
+    * a full copy per compaction forever. */
+  def expireBefore(table: String, v: Long): Unit =
+    latestBase(table, v).foreach { keep =>
+      listIds(rootPath.resolve(table).resolve("base"), "v=", Long.MinValue, keep - 1)
+        .foreach(b => deleteRecursively(baseDir(table, b)))
+      listIds(rootPath.resolve(table).resolve("delta_add"), "batch=", Long.MinValue, keep)
+        .foreach(b => deleteRecursively(addDir(table, b)))
+      listIds(rootPath.resolve(table).resolve("delta_del"), "batch=", Long.MinValue, keep)
+        .foreach(b => deleteRecursively(delDir(table, b)))
+    }
+
+  /** expire for snapshot tables (seeds/bloom/summary): keep only the latest
+    * version ≤ v. */
+  def expireSnapshotsBefore(table: String, v: Long): Unit =
+    latestVersion(table, v).foreach { keep =>
+      listIds(rootPath.resolve(table), "v=", Long.MinValue, keep - 1)
+        .foreach(b => deleteRecursively(rootPath.resolve(table).resolve(s"v=$b")))
+    }
+
   /** Read log batches in (afterBatch, upToBatch]. Directory handles closed
     * even on error (long-running drivers poll logs across thousands of
     * batches — a leaked stream per call exhausts file descriptors). */

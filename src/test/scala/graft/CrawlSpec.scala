@@ -359,6 +359,32 @@ class IncrementalStateSpec extends org.scalatest.funsuite.AnyFunSuite {
     assert(new java.io.File(s"$dirB/seen/base").list().length > 1, "compaction never ran")
   }
 
+  test("expireOldState: superseded versions deleted; views and resume unaffected") {
+    val dir = tmp()
+    val cfg = CrawlConfig(defaultHostBudget = 3, shufflePartitions = 4,
+      bloomMinSeen = 1, compactEvery = 2)
+    val eng = new CrawlEngine(spark, pagesDF, dir, cfg)
+    eng.initialize(seeds(5))
+    eng.run(5) // compactions at batch 1 and 3
+    val seenBefore = eng.seen().select("url_hash").collect().map(_.getLong(0)).sorted.toSeq
+    val frontBefore = eng.frontier().select("url_hash").collect().map(_.getLong(0)).sorted.toSeq
+    eng.expireOldState()
+    // superseded files gone: only the latest base and post-base deltas remain
+    val keep = eng.store.latestBase("seen", Long.MaxValue).get
+    val bases = new java.io.File(s"$dir/seen/base").list().toSeq
+    assert(bases == Seq(s"v=$keep"), s"expected only the latest base, got $bases")
+    assert(!new java.io.File(s"$dir/seen/delta_add/batch=0").exists())
+    // views identical after GC
+    assert(eng.seen().select("url_hash").collect().map(_.getLong(0)).sorted.toSeq == seenBefore)
+    assert(eng.frontier().select("url_hash").collect().map(_.getLong(0)).sorted.toSeq == frontBefore)
+    // a fresh engine resumes from the GC'd state with no duplicate fetches
+    val eng2 = new CrawlEngine(spark, pagesDF, dir, cfg)
+    eng2.run(2)
+    assert(eng2.fetched().get.groupBy("url_hash").count().filter($"count" > 1).count() == 0)
+    assert(eng2.seen().count() ==
+      eng2.ledger().get.orderBy($"batch_id".desc).select("seen_size").head.getLong(0))
+  }
+
   test("bloom lifecycle: one full build, then incremental; resume loads snapshot + replays deltas") {
     val dir = tmp()
     val cfg = CrawlConfig(defaultHostBudget = 4, shufflePartitions = 4,
