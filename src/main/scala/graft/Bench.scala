@@ -112,14 +112,17 @@ object Bench {
   case class ChildResult(fetched: Long, sec: Double, stageTp: Double, parseTp: Double)
 
   /** Multi-process control: `procs` CONCURRENT 8-core JVMs each running the
-    * memory-resident parse stage — the in-sandbox stand-in for N separate
-    * executor JVMs (a real cluster never runs 32 cores in one JVM; local[32]
-    * does, and its shared allocator/GC is the measured non-scaling term).
-    * Returns per-JVM throughputs. */
-  private def multiParse(procs: Int, cpus: Int, nPages: Long, bodyRepeat: Int): Seq[Double] = {
+    * scan+parse stage and the memory-resident parse stage — the in-sandbox
+    * stand-in for N separate executor JVMs (a real cluster never runs 32
+    * cores in one JVM; local[32] does, and its shared allocator/GC is the
+    * measured non-scaling term). Returns per-JVM (stageTp, parseTp). */
+  private def multiParse(procs: Int, cpus: Int, nPages: Long,
+      bodyRepeat: Int): Seq[(Double, Double)] = {
     val ps = (1 to procs).map(_ => childStart(cpus, nPages, bodyRepeat, "parse", 12))
     ps.zipWithIndex.map { case (p, i) =>
-      childCollect(p, s"mp$i").get("PROBE3").flatMap(_.get("tp")).map(_.toDouble).getOrElse(-1)
+      val kv = childCollect(p, s"mp$i")
+      (kv.get("PROBE2").flatMap(_.get("tp")).map(_.toDouble).getOrElse(-1),
+        kv.get("PROBE3").flatMap(_.get("tp")).map(_.toDouble).getOrElse(-1))
     }
   }
 
@@ -173,11 +176,16 @@ object Bench {
       val effStage = (st32 / st8) / 4.0
       val effParse = (pa32 / pa8) / 4.0
       // cross-JVM control: 1 vs 4 concurrent 8-core JVMs (separate heaps,
-      // like real executors) on the same parse stage — isolates the engine's
-      // scaling from local[32]'s single-JVM allocator/GC contention
-      val solo = (1 to 2).map(_ => multiParse(1, 8, benchPages, bodyRepeat).head).max
-      val fourAgg = (1 to 2).map(_ => multiParse(4, 8, benchPages, bodyRepeat).sum).max
+      // like real executors) on the scan+parse and pure-parse stages —
+      // isolates the engine's scaling from local[32]'s single-JVM
+      // allocator/GC contention
+      val solos = (1 to 2).map(_ => multiParse(1, 8, benchPages, bodyRepeat).head)
+      val fours = (1 to 2).map(_ => multiParse(4, 8, benchPages, bodyRepeat))
+      val (soloSt, solo) = (solos.map(_._1).max, solos.map(_._2).max)
+      val fourStAgg = fours.map(_.map(_._1).sum).max
+      val fourAgg = fours.map(_.map(_._2).sum).max
       val effMp = fourAgg / (4.0 * solo)
+      val effMpStage = fourStAgg / (4.0 * soloSt)
       scalingJson = s""","scaling":{"sec_8":${r1(r8.sec)},"tp_8":${r1(tp8)},""" +
         s""""sec_32":${r1(r32.sec)},"tp_32":${r1(tp32)},""" +
         s""""efficiency_8_to_32":${r3(eff)},""" +
@@ -186,11 +194,14 @@ object Bench {
         s""""parse_tp_8":${r1(pa8)},"parse_tp_32":${r1(pa32)},""" +
         s""""parse_efficiency":${r3(effParse)},""" +
         s""""parse_1x8jvm_tp":${r1(solo)},"parse_4x8jvm_agg_tp":${r1(fourAgg)},""" +
-        s""""multiproc_efficiency":${r3(effMp)}}"""
+        s""""multiproc_efficiency":${r3(effMp)},""" +
+        s""""stage_1x8jvm_tp":${r1(soloSt)},"stage_4x8jvm_agg_tp":${r1(fourStAgg)},""" +
+        s""""stage_multiproc_efficiency":${r3(effMpStage)}}"""
       scalingLine = s""","scaling":{"sec_8":${r1(r8.sec)},"tp_8":${r1(tp8)},""" +
         s""""sec_32":${r1(r32.sec)},"tp_32":${r1(tp32)},""" +
         s""""efficiency_8_to_32":${r3(eff)},"stage_efficiency":${r3(effStage)},""" +
-        s""""parse_efficiency":${r3(effParse)},"multiproc_efficiency":${r3(effMp)}}"""
+        s""""parse_efficiency":${r3(effParse)},"multiproc_efficiency":${r3(effMp)},""" +
+        s""""stage_multiproc_efficiency":${r3(effMpStage)}}"""
     }
 
     // ---- phase 3: query pack on sfDir (after scaling — its 64 GB-heap

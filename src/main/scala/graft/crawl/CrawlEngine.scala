@@ -8,6 +8,16 @@ import org.apache.spark.sql.functions._
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.util.sketch.BloomFilter
 
+/** Typed frontier row (SURVEY.md §1.3): the per-url crawl cursor — the
+  * analog of the reference's (user_id, since_date, page) walk state
+  * (/root/reference/weibo.py:144-166). */
+case class FrontierEntry(url: String, url_canon: String, url_hash: Long,
+    host: String, depth: Int, priority_ts: java.sql.Timestamp, seed_id: String,
+    since_ts: java.sql.Timestamp, end_ts: java.sql.Timestamp, discovered_batch: Long)
+
+/** Typed seen row: first-occurrence registry keyed by xxhash64(canonical url). */
+case class SeenEntry(url_hash: Long, url_canon: String, first_batch: Long)
+
 /** Seed config row — analog of config.json user_id_list entries
   * (/root/reference/weibo.py:144-166): a root url plus a [since, end)
   * crawl window (weibo.py:286-331 normalization; the reference's inclusive
@@ -178,6 +188,13 @@ class CrawlEngine(
 
   def frontier(v: Long = store.committedBatch): DataFrame = store.readView("frontier", v, emptyFrontier)
   def seen(v: Long = store.committedBatch): DataFrame = store.readView("seen", v, emptySeen)
+
+  /** Typed Dataset views (input_hint: "typed Dataset/DataFrame + Catalyst").
+    * Same plans as the DataFrame accessors — the Encoder only types the rows. */
+  def frontierTyped(v: Long = store.committedBatch): org.apache.spark.sql.Dataset[FrontierEntry] =
+    frontier(v).as[FrontierEntry]
+  def seenTyped(v: Long = store.committedBatch): org.apache.spark.sql.Dataset[SeenEntry] =
+    seen(v).as[SeenEntry]
   def ledger(upTo: Long = store.committedBatch): Option[DataFrame] = store.readLog("ledger", upTo)
 
   /** Emitted pages with lineage per north rule (partition id, batch id,

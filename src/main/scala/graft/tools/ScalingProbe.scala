@@ -47,18 +47,20 @@ object ScalingProbe {
       graft.Bench.crawlBench(s, 50000L, cpus, 1, rep)
       val (f, dt) = graft.Bench.crawlBench(s, n, cpus, 2, rep)
       println(f"PROBE cpus=$cpus fetched=$f sec=$dt%.2f tp=${f / dt}%.0f")
-
-      // fetch+parse stage in isolation (corpus scan → fused parse → agg):
-      // the per-page compute path without scheduling/commit orchestration
-      val corpusDf = graft.Bench.corpus(s, n, rep)
-      corpusDf.count() // warm file listing
-      val t0 = System.nanoTime()
-      val parsedChars = corpusDf
-        .select(graft.functions.gf.extract_parsed($"html").as("p"))
-        .agg(sum(length($"p.text")), sum(size($"p.outlinks"))).collect()(0)
-      val pdt = (System.nanoTime() - t0) / 1e9
-      println(f"PROBE2 cpus=$cpus pages=$n sec=$pdt%.2f tp=${n / pdt}%.0f chars=${parsedChars.getLong(0)}")
     }
+
+    // fetch+parse stage in isolation (corpus scan → fused parse → agg):
+    // the per-page compute path without scheduling/commit orchestration.
+    // Runs in every mode so the multi-process control covers it too.
+    val corpusDf = graft.Bench.corpus(s, n, rep)
+    corpusDf.count() // warm file listing
+    val p2 = (1 to 2).map { _ =>
+      val t0 = System.nanoTime()
+      corpusDf.select(graft.functions.gf.extract_parsed($"html").as("p"))
+        .agg(sum(length($"p.text")), sum(size($"p.outlinks"))).collect()
+      (System.nanoTime() - t0) / 1e9
+    }.min
+    println(f"PROBE2 cpus=$cpus pages=$n sec=$p2%.2f tp=${n / p2}%.0f")
 
     // parse compute alone: realistic 30KB pages, memory-resident input
     // (no disk, no shuffle) — the per-core parser scaling ceiling

@@ -202,6 +202,18 @@ class CrawlSpec extends AnyFunSuite {
     eng.clearStop()
   }
 
+  test("typed Dataset views: frontierTyped/seenTyped mirror the DataFrame state") {
+    val eng = new CrawlEngine(spark, pagesDF, tmp(), CrawlConfig(shufflePartitions = 4))
+    eng.initialize(seeds(4))
+    eng.run(2)
+    val fe: Seq[FrontierEntry] = eng.frontierTyped().collect().toSeq
+    assert(fe.size.toLong == eng.frontier().count())
+    assert(fe.forall(e => e.url_hash != 0L && e.host.nonEmpty && e.depth >= 0))
+    val se: Seq[SeenEntry] = eng.seenTyped().collect().toSeq
+    assert(se.size.toLong == eng.seen().count())
+    assert(se.forall(_.first_batch >= 0L))
+  }
+
   test("ledger carries per-batch lineage metrics") {
     val eng = new CrawlEngine(spark, pagesDF, tmp(), CrawlConfig(shufflePartitions = 4))
     eng.initialize(seeds(4))
