@@ -28,7 +28,7 @@ object SparkEntry {
     * scheduling, salted fetch join, parse, lineage) in one DataFrame. */
   def entry(spark: SparkSession): DataFrame = {
     val n = 512L
-    val pages = PagesGen.pages(spark, n, 8).toDF
+    val pages = PagesGen.pages(spark, n, 8).toDF()
     val dir = java.nio.file.Files.createTempDirectory("graft_entry").toString
     val eng = new CrawlEngine(spark, pages, dir, CrawlConfig(shufflePartitions = 8))
     eng.initialize(PagesGen.seedRows(n, 6).map(Seed.tupled))
@@ -352,14 +352,14 @@ object SparkEntry {
 
     // ---- training-data pipeline: multimodal binary -------------------------
     "q34_media_sniff" -> ((s, dir) => {
-      val media = Multimodal.synthMedia(s, t(s, dir, "part"), "p_partkey").toDF
+      val media = Multimodal.synthMedia(s, t(s, dir, "part"), "p_partkey").toDF()
       media.withColumn("ext", Multimodal.sniffExt(col("bytes")))
         .groupBy(col("ext")).agg(count(lit(1)).as("cnt"))
     }),
 
     "q35_media_features" -> ((s, dir) => {
       val media = Multimodal.synthMedia(s, t(s, dir, "part"), "p_partkey")
-      Multimodal.extractFeatures(media).toDF
+      Multimodal.extractFeatures(media).toDF()
         .select(col("media_id"), col("kind"), col("sniffed_ext"), col("byte_len"))
     }),
 
@@ -526,7 +526,7 @@ object SparkEntry {
     // ---- crawl engine end-to-end (no SQL oracle: engine-internal state) ----
     "q50_crawl_batch" -> ((s, dir) => {
       val n = 512L
-      val pages = PagesGen.pages(s, n, 8).toDF
+      val pages = PagesGen.pages(s, n, 8).toDF()
       val st = java.nio.file.Files.createTempDirectory("graft_q50").toString
       val eng = new CrawlEngine(s, pages, st, CrawlConfig(shufflePartitions = 8))
       eng.initialize(PagesGen.seedRows(n, 6).map(Seed.tupled))
@@ -537,7 +537,7 @@ object SparkEntry {
 
     "q51_crawl_frontier" -> ((s, dir) => {
       val n = 512L
-      val pages = PagesGen.pages(s, n, 8).toDF
+      val pages = PagesGen.pages(s, n, 8).toDF()
       val st = java.nio.file.Files.createTempDirectory("graft_q51").toString
       val eng = new CrawlEngine(s, pages, st, CrawlConfig(shufflePartitions = 8))
       eng.initialize(PagesGen.seedRows(n, 6).map(Seed.tupled))

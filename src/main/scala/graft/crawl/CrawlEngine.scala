@@ -345,7 +345,7 @@ class CrawlEngine(
       candidates.join(robots,
         candidates("host") === robots("r_host") &&
           expr("parse_url(url_canon, 'PATH')").startsWith(robots("r_prefix")))
-        .select(candidates.columns.map(candidates(_)): _*)
+        .select(candidates.columns.toIndexedSeq.map(candidates(_)): _*)
         .dropDuplicates("url_hash")
         .persist()
     }
@@ -715,7 +715,7 @@ class CrawlEngine(
       .withColumn("depth", lit(0))
       .withColumn("priority_ts", $"end_ts")
       .withColumn("discovered_batch", lit(-1L))
-      .select(emptyFrontier.columns.map(col): _*)
+      .select(emptyFrontier.columns.toIndexedSeq.map(col): _*)
 
   /** State GC — the Iceberg expire_snapshots analog (call between runs or
     * from a maintenance schedule): drops every state file superseded by the

@@ -28,7 +28,7 @@ object CrawlDemo {
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
 
-    val pages = PagesGen.pages(spark, n, 32).toDF.persist()
+    val pages = PagesGen.pages(spark, n, 32).toDF().persist()
     val eng = new CrawlEngine(spark, pages, stateDir,
       CrawlConfig(defaultHostBudget = 8,
         perHostBudget = Map("h0.example.test" -> 32), // mega-host: bigger but bounded

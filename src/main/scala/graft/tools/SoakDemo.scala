@@ -31,7 +31,7 @@ object SoakDemo {
     spark.sparkContext.setLogLevel("WARN")
     import spark.implicits._
 
-    val pages = PagesGen.pages(spark, n, 8).toDF.persist()
+    val pages = PagesGen.pages(spark, n, 8).toDF().persist()
     val dir = java.nio.file.Files.createTempDirectory("graft_soak").toString
     val base = PagesGen.BaseTsMillis
     val cfg = CrawlConfig(defaultHostBudget = 6, maxDepth = 64,
