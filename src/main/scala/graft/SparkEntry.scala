@@ -943,12 +943,40 @@ object SparkEntry {
     "q63_original_only" ->
       """SELECT doc_id FROM documents WHERE doc_id % 3 <> 0""".stripMargin,
 
+    "q27_ann_ivf_topk" ->
+      """WITH v AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+        | n AS (SELECT COUNT(*) AS n FROM v),
+        | cent AS (
+        |   SELECT vec_id AS cid, v AS cv FROM v, n
+        |   WHERE vec_id % greatest(1, n // 16) = 0
+        |   ORDER BY vec_id LIMIT 16),
+        | ranked AS (
+        |   SELECT v.vec_id, c.cid,
+        |     ROW_NUMBER() OVER (PARTITION BY v.vec_id
+        |       ORDER BY ROUND(list_cosine_similarity(v.v, c.cv), 6) DESC, c.cid DESC) AS r
+        |   FROM v, cent c),
+        | assign AS (SELECT vec_id, cid AS cell FROM ranked WHERE r = 1),
+        | qprobe AS (SELECT vec_id AS query_id, cid AS cell FROM ranked WHERE vec_id < 10 AND r <= 4),
+        | cand AS (
+        |   SELECT qp.query_id, a.vec_id AS neighbor_id
+        |   FROM qprobe qp JOIN assign a ON a.cell = qp.cell
+        |   WHERE a.vec_id <> qp.query_id),
+        | scored AS (
+        |   SELECT c.query_id, c.neighbor_id,
+        |     ROUND(list_cosine_similarity(qv.v, nv.v), 6) AS cos_r,
+        |     ROW_NUMBER() OVER (PARTITION BY c.query_id
+        |       ORDER BY ROUND(list_cosine_similarity(qv.v, nv.v), 6) DESC, c.neighbor_id) AS rk
+        |   FROM cand c JOIN v qv ON qv.vec_id = c.query_id JOIN v nv ON nv.vec_id = c.neighbor_id)
+        |SELECT query_id, neighbor_id, CAST(rk AS BIGINT) AS rk, cos_r
+        |FROM scored WHERE rk <= 5""".stripMargin,
+
     "q60_stream_hourly_counts" ->
       """SELECT date_trunc('hour', ts) AS window_start, event_type, COUNT(*) AS cnt
         |FROM events GROUP BY 1, 2""".stripMargin
-    // q26_ann_lsh_topk, q27_ann_ivf_topk, q50/q51 crawl internals:
-    // intentionally no oracle (non-SQL-portable hyperplanes/centroids,
-    // engine-internal state) → rows-only check; correctness asserted by
-    // ScalaTest suites (recall-vs-brute-force, crawl goldens) instead.
+    // q26_ann_lsh_topk (splitmix64 hyperplanes aren't SQL-portable) and
+    // q50/q51 crawl internals: intentionally no oracle → rows-only check;
+    // correctness asserted by ScalaTest suites (bucket/recall tests, crawl
+    // goldens) instead. q27's stride-sampled centroids ARE SQL-portable, so
+    // IVF is fully oracle-gated above.
   )
 }

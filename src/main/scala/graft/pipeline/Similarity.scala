@@ -92,7 +92,7 @@ object Similarity {
   def ivfAssign(df: DataFrame, centroids: Seq[(Long, Seq[Double])],
       idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
     val scored = centroids.map { case (cid, cvec) =>
-      struct(round(cosine(asDouble(col(vecCol)), array(cvec.map(lit): _*)), 9).as("score"),
+      struct(round(cosine(asDouble(col(vecCol)), array(cvec.map(lit): _*)), 6).as("score"),
         lit(cid).as("cid"))
     }
     df.withColumn("cell", greatest(scored: _*).getField("cid"))
@@ -119,7 +119,7 @@ object Similarity {
       .select(col(idCol).as("neighbor_id"), asDouble(col(vecCol)).as("cv"), col("cell"))
     // query → its nprobe nearest cells (computed per query row, exploded)
     val probes = centroids.map { case (cid, cvec) =>
-      struct(round(cosine(asDouble(col(vecCol)), array(cvec.map(lit): _*)), 9).as("score"),
+      struct(round(cosine(asDouble(col(vecCol)), array(cvec.map(lit): _*)), 6).as("score"),
         lit(cid).as("cid"))
     }
     val qcells = queries
