@@ -546,7 +546,38 @@ object SparkEntry {
     })
   )
 
+  /** q26's hyperplane constants inlined for the oracle — generated from the
+    * SAME JVM doubles the Spark expression uses (Double.toString round-trips
+    * bit-exactly, and DuckDB parses it to the identical float64). */
+  private lazy val lshPlaneValues: String =
+    Similarity.hyperplane(8, 64).zipWithIndex.flatMap { case (row, b) =>
+      row.zipWithIndex.map { case (w, d) => s"($b,$d,${w}::DOUBLE)" }
+    }.mkString(",")
+
   def oracleSql: Map[String, String] = Map(
+
+    "q26_ann_lsh_topk" ->
+      s"""WITH v AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+         | p AS (SELECT * FROM (VALUES $lshPlaneValues) t(b, d, w)),
+         | dots AS (
+         |   SELECT v.vec_id, p.b, ROUND(SUM(v.v[p.d + 1] * p.w), 6) AS dp
+         |   FROM v, p GROUP BY v.vec_id, p.b),
+         | sig AS (
+         |   SELECT vec_id,
+         |     CAST(SUM(CASE WHEN dp > 0 THEN (1::BIGINT << b) ELSE 0 END) AS BIGINT) AS lsh_sig
+         |   FROM dots GROUP BY vec_id),
+         | q AS (SELECT s.vec_id AS query_id, s.lsh_sig, v.v AS qv
+         |       FROM sig s JOIN v ON v.vec_id = s.vec_id WHERE s.vec_id < 10),
+         | c AS (SELECT s.vec_id AS neighbor_id, s.lsh_sig, v.v AS cv
+         |       FROM sig s JOIN v ON v.vec_id = s.vec_id),
+         | scored AS (
+         |   SELECT q.query_id, c.neighbor_id,
+         |     ROUND(list_cosine_similarity(q.qv, c.cv), 6) AS cos_r,
+         |     ROW_NUMBER() OVER (PARTITION BY q.query_id
+         |       ORDER BY ROUND(list_cosine_similarity(q.qv, c.cv), 6) DESC, c.neighbor_id) AS rk
+         |   FROM q JOIN c ON q.lsh_sig = c.lsh_sig AND q.query_id <> c.neighbor_id)
+         |SELECT query_id, neighbor_id, CAST(rk AS BIGINT) AS rk, cos_r
+         |FROM scored WHERE rk <= 5""".stripMargin,
     "q01_pricing_summary" ->
       """SELECT l_returnflag, l_linestatus,
         | CAST(SUM(CAST(l_quantity AS BIGINT)) AS BIGINT) AS sum_qty,
@@ -973,10 +1004,10 @@ object SparkEntry {
     "q60_stream_hourly_counts" ->
       """SELECT date_trunc('hour', ts) AS window_start, event_type, COUNT(*) AS cnt
         |FROM events GROUP BY 1, 2""".stripMargin
-    // q26_ann_lsh_topk (splitmix64 hyperplanes aren't SQL-portable) and
-    // q50/q51 crawl internals: intentionally no oracle → rows-only check;
-    // correctness asserted by ScalaTest suites (bucket/recall tests, crawl
-    // goldens) instead. q27's stride-sampled centroids ARE SQL-portable, so
-    // IVF is fully oracle-gated above.
+    // q50/q51 crawl internals: intentionally no oracle (engine-internal
+    // state) → rows-only check; correctness asserted by the CrawlSpec
+    // goldens instead. Every ANN variant is oracle-gated above (q26's
+    // hyperplanes and q27's stride centroids are operator constants the
+    // oracle reproduces).
   )
 }

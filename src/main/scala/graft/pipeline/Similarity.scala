@@ -55,8 +55,10 @@ object Similarity {
   }
 
   /** Deterministic pseudo-random hyperplane component for (bit, dim) — same
-    * splitmix64 generator as the corpus (no RNG state, replayable). */
-  private def hyperplane(bits: Int, dims: Int): Seq[Seq[Double]] =
+    * splitmix64 generator as the corpus (no RNG state, replayable). Exposed
+    * within the package so the DuckDB oracle can inline the SAME double
+    * literals (the planes are operator constants, like band counts). */
+  private[graft] def hyperplane(bits: Int, dims: Int): Seq[Seq[Double]] =
     (0 until bits).map { b =>
       (0 until dims).map { d =>
         val m = graft.crawl.PagesGen.mix(b.toLong * 8191 + d)
@@ -64,13 +66,15 @@ object Similarity {
       }
     }
 
-  /** Random-hyperplane LSH signature (bits-wide) per vector. */
+  /** Random-hyperplane LSH signature (bits-wide) per vector. The sign test
+    * uses round(dot, 6) so the signature is reproducible across engines'
+    * float-sum orders (the same 1e-6 parity class every ANN oracle uses). */
   def lshSignature(df: DataFrame, bits: Int, dims: Int,
       idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
     val planes = hyperplane(bits, dims)
     val sigBits = (0 until bits).map { b =>
       val plane = array(planes(b).map(lit): _*)
-      when(dot(asDouble(col(vecCol)), plane) > 0,
+      when(round(dot(asDouble(col(vecCol)), plane), 6) > 0,
         shiftleft(lit(1L), b)).otherwise(0L)
     }
     df.select(col(idCol), col(vecCol))
