@@ -13,7 +13,7 @@ object ScalingProbe {
     val master = sys.env.getOrElse("GRAFT_MASTER", s"local[$cpus]")
     val b = SparkSession.builder().master(master)
       .config("spark.sql.shuffle.partitions", cpus.toString)
-      .config("spark.sql.adaptive.enabled", "true")
+      .config("spark.sql.adaptive.enabled", sys.env.getOrElse("GRAFT_AQE", "true"))
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
       .config("spark.driver.memory", "48g")
