@@ -478,6 +478,22 @@ object SparkEntry {
         .schema("doc_id BIGINT, lang STRING, n_chars BIGINT").csv(out)
     }),
 
+    // ---- S11: JSON sink round-trip (write + schema'd read-back) -------------
+    "q64_json_roundtrip" -> ((s, dir) => {
+      val out = java.nio.file.Files.createTempDirectory("graft_json").toString
+      t(s, dir, "documents").select(col("doc_id"), col("lang"), col("n_chars"))
+        .write.mode("overwrite").json(out)
+      s.read.schema("doc_id BIGINT, lang STRING, n_chars BIGINT").json(out)
+    }),
+
+    // ---- A7: page budget = ceil(count / page_size) (weibo.py:1819-1827) -----
+    "q49_page_budget" -> ((s, dir) => {
+      t(s, dir, "events").groupBy(col("user_id"))
+        .agg(count(lit(1)).as("n_events"))
+        .withColumn("page_budget", ceil(col("n_events") / lit(10.0)))
+        .select(col("user_id"), col("n_events"), col("page_budget"))
+    }),
+
     // ---- F1/F5: card-type filter + struct unwrap + pinned skip --------------
     "q62_card_unwrap" -> ((s, dir) => {
       // weibo.py:1677-1684: keep card_type 9; unwrap card_type 11 → group[0];
@@ -964,6 +980,14 @@ object SparkEntry {
 
     "q61_csv_roundtrip" ->
       """SELECT doc_id, lang, n_chars FROM documents""".stripMargin,
+
+    "q64_json_roundtrip" ->
+      """SELECT doc_id, lang, n_chars FROM documents""".stripMargin,
+
+    "q49_page_budget" ->
+      """SELECT user_id, COUNT(*) AS n_events,
+        | CAST(CEIL(COUNT(*) / 10.0) AS BIGINT) AS page_budget
+        |FROM events GROUP BY user_id""".stripMargin,
 
     "q62_card_unwrap" ->
       """SELECT doc_id, CASE WHEN doc_id % 7 = 0 THEN 11 ELSE 9 END AS card_type,
