@@ -717,6 +717,29 @@ class CrawlEngine(
       .withColumn("discovered_batch", lit(-1L))
       .select(emptyFrontier.columns.toIndexedSeq.map(col): _*)
 
+  /**
+   * Scheduler tick — the reference's interval scheduler
+   * (service.py:1209-1306): every poll it checks whether `intervalMs` has
+   * elapsed since the last child run and, if so, rotates the windows to
+   * `now` and runs a bounded child crawl. The "last run" watermark is the
+   * seeds' end_ts (rotation sets it to the rotation time — the same cursor
+   * the reference persists back into config.json, service.py:1456-1494).
+   * The clock is INJECTED (`now`), so schedules are deterministic and
+   * replayable in tests; skip-if-running (service.py:1250-1252) is inherent
+   * here — ticks are driver-serial. Returns true if a child run fired.
+   */
+  def tickSchedule(now: java.sql.Timestamp, intervalMs: Long, maxBatches: Int): Boolean = {
+    val committed = store.committedBatch
+    val seedsV = store.latestVersion("seeds", committed)
+      .getOrElse(sys.error("tickSchedule requires initialize(seeds) state"))
+    val lastEnd = store.read("seeds", seedsV, sys.error("seeds listed but unreadable"))
+      .agg(max($"end_ts")).head().getTimestamp(0)
+    if (now.getTime - lastEnd.getTime < intervalMs) return false
+    rotateWindows(now)
+    run(maxBatches)
+    true
+  }
+
   /** State GC — the Iceberg expire_snapshots analog (call between runs or
     * from a maintenance schedule): drops every state file superseded by the
     * newest committed base snapshots. Resume and all reads at the current

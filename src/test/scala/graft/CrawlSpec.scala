@@ -493,6 +493,43 @@ class WindowAndGuardSpec extends org.scalatest.funsuite.AnyFunSuite {
   }
 }
 
+/** §3.2 — interval scheduler analog (service.py:1209-1306): ticks fire a
+  * rotate+run child only when the interval has elapsed since the last run;
+  * the clock is injected so the schedule is deterministic. */
+class SchedulerSpec extends org.scalatest.funsuite.AnyFunSuite {
+  lazy val spark = SparkTestSession.spark
+  import graft.crawl._
+
+  test("tickSchedule fires only after the interval elapses, rotating to the tick time") {
+    val N = 128L
+    val pages = PagesGen.pages(spark, N, 4, crossLinks = false).toDF
+    val base = PagesGen.BaseTsMillis
+    val dir = java.nio.file.Files.createTempDirectory("graft_sched").toString
+    val eng = new CrawlEngine(spark, pages, dir,
+      CrawlConfig(defaultHostBudget = 8, maxDepth = 32, shufflePartitions = 4))
+    val end0 = new java.sql.Timestamp(base - 10L * 3600_000L)
+    eng.initialize(Seq(0L, 2L).map(sid => Seed(s"seed$sid", PagesGen.urlOf(sid, 0, N),
+      new java.sql.Timestamp(base - 200L * 3600_000L), end0)))
+    eng.run(20)
+    val hour = 3600_000L
+    // too early: half an interval after the cursor — no child run
+    assert(!eng.tickSchedule(new java.sql.Timestamp(end0.getTime + hour / 2), hour, 20))
+    val before = eng.store.committedBatch
+    assert(eng.store.committedBatch == before)
+    // due: fires, rotates end_ts to the tick time, runs the child
+    val t1 = new java.sql.Timestamp(end0.getTime + 2 * hour)
+    assert(eng.tickSchedule(t1, hour, 20))
+    assert(eng.store.committedBatch > before)
+    // immediately re-ticking at the same time must NOT fire again
+    assert(!eng.tickSchedule(t1, hour, 20))
+    // and the next due tick fires from the new cursor
+    assert(eng.tickSchedule(new java.sql.Timestamp(t1.getTime + hour), hour, 20))
+    // across all scheduled children: no url emitted twice
+    import spark.implicits._
+    assert(eng.fetched().get.groupBy("url_hash").count().filter($"count" > 1).count() == 0)
+  }
+}
+
 /** M3 — cursor rotation (since := end, end := now; weibo.py:2814-2817) with
   * deferred too-new pages emitted exactly once in the next window. */
 class RotationSpec extends org.scalatest.funsuite.AnyFunSuite {
