@@ -101,12 +101,19 @@ object Bench {
   }
 
   private def childRun(cpus: Int, nPages: Long, bodyRepeat: Int): ChildResult = {
-    val kv = childCollect(childStart(cpus, nPages, bodyRepeat, "all", 24), s"child-$cpus")
-    val e2e = kv.getOrElse("PROBE", Map.empty)
-    require(e2e.nonEmpty, s"child $cpus produced no PROBE line")
-    ChildResult(e2e("fetched").toLong, e2e("sec").toDouble,
-      kv.get("PROBE2").flatMap(_.get("tp")).map(_.toDouble).getOrElse(-1),
-      kv.get("PROBE3").flatMap(_.get("tp")).map(_.toDouble).getOrElse(-1))
+    def once(): ChildResult = {
+      val kv = childCollect(childStart(cpus, nPages, bodyRepeat, "all", 24), s"child-$cpus")
+      val e2e = kv.getOrElse("PROBE", Map.empty)
+      require(e2e.nonEmpty, s"child $cpus produced no PROBE line")
+      ChildResult(e2e("fetched").toLong, e2e("sec").toDouble,
+        kv.get("PROBE2").flatMap(_.get("tp")).map(_.toDouble).getOrElse(-1),
+        kv.get("PROBE3").flatMap(_.get("tp")).map(_.toDouble).getOrElse(-1))
+    }
+    // one flaky child (OOM/host hiccup) must not kill the whole bench run
+    try once() catch { case e: Throwable =>
+      System.err.println(s"[bench] child $cpus failed once (${e.getMessage}); retrying")
+      once()
+    }
   }
 
   case class ChildResult(fetched: Long, sec: Double, stageTp: Double, parseTp: Double)
