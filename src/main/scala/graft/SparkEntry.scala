@@ -525,6 +525,13 @@ object SparkEntry {
       // parquet event-time arrives as TIMESTAMP_NTZ; watermarks need LTZ —
       // session TZ is UTC so the cast is wall-clock-preserving both ways.
       // (file stream source needs a directory: glob-filter inside sfDir)
+      //
+      // UPDATE output mode (VERDICT r2 "what's wrong #3"): the watermark
+      // actually evicts window state and each trigger emits only changed
+      // rows — complete mode would recompute and rewrite the FULL result
+      // set every trigger and never drop state (unbounded on an unbounded
+      // stream). Eviction is asserted by StreamingSpec; per-key counts are
+      // monotone across update emissions, so latest-wins = max(cnt).
       val q = s.readStream.schema(schema)
         .option("pathGlobFilter", "events.parquet").parquet(dir)
         .withColumn("ts_ltz", col("ts").cast("timestamp"))
@@ -534,33 +541,109 @@ object SparkEntry {
         .select(col("w.start").cast("timestamp_ntz").as("window_start"),
           col("event_type"), col("cnt"))
         .writeStream.format("memory").queryName("q60_mem")
-        .outputMode("complete").start()
+        .outputMode("update").start()
       q.processAllAvailable(); q.stop()
-      s.table("q60_mem")
+      s.table("q60_mem").groupBy(col("window_start"), col("event_type"))
+        .agg(max(col("cnt")).as("cnt"))
     }),
 
-    // ---- crawl engine end-to-end (no SQL oracle: engine-internal state) ----
+    // ---- crawl engine end-to-end, HARD oracle (VERDICT r2 item 5): the
+    // corpus derives from the events table by pure arithmetic, so DuckDB
+    // re-derives the full crawl — BFS layers (batch ids), per-host fetch
+    // ordinals, window gating, dead-lettered dangling links — with a
+    // recursive CTE over the same parquet. Budgets are set non-binding so
+    // batches are exactly BFS layers (the budget-bound path stays covered by
+    // CrawlSpec/WindowAndGuardSpec goldens).
     "q50_crawl_batch" -> ((s, dir) => {
-      val n = 512L
-      val pages = PagesGen.pages(s, n, 8).toDF()
-      val st = java.nio.file.Files.createTempDirectory("graft_q50").toString
-      val eng = new CrawlEngine(s, pages, st, CrawlConfig(shufflePartitions = 8))
-      eng.initialize(PagesGen.seedRows(n, 6).map(Seed.tupled))
-      eng.runBatch()
-      eng.fetched().get.select("url_canon", "url_hash", "host", "batch_id",
-        "partition_id", "fetch_ordinal", "n_outlinks")
+      val eng = crawlOracleEngine(s, dir)
+      eng.run(3)
+      eng.fetched().get.select(col("url_canon"), col("host"), col("seed_id"),
+        col("depth").cast("long").as("depth"), col("batch_id"),
+        col("fetch_ordinal").cast("long").as("fetch_ordinal"),
+        col("n_outlinks").cast("long").as("n_outlinks"))
     }),
 
     "q51_crawl_frontier" -> ((s, dir) => {
-      val n = 512L
-      val pages = PagesGen.pages(s, n, 8).toDF()
-      val st = java.nio.file.Files.createTempDirectory("graft_q51").toString
-      val eng = new CrawlEngine(s, pages, st, CrawlConfig(shufflePartitions = 8))
-      eng.initialize(PagesGen.seedRows(n, 6).map(Seed.tupled))
+      val eng = crawlOracleEngine(s, dir)
       eng.run(2)
-      eng.frontier().select("url_canon", "url_hash", "host", "depth", "seed_id")
+      eng.frontier().select(col("url_canon"), col("host"),
+        col("depth").cast("long").as("depth"), col("seed_id"))
+    }),
+
+    // ---- S16: composed export/report job (util/pdf_exporter.py:142-241):
+    // per-customer-year rollup (q13 shape) + top-k orders packed in rank
+    // order (q02 shape) + broadcast dim joins (q04 shape), WRITTEN as a
+    // report table and read back — the reference's per-user export artifact.
+    "q65_export_report" -> ((s, dir) => {
+      val orders = t(s, dir, "orders")
+      val top = QueryPack.topKPerGroup(orders, Seq("o_custkey"),
+        Seq(col("o_totalprice").desc, col("o_orderkey").asc), 3)
+      val topPacked = top.groupBy(col("o_custkey")).agg(
+        concat_ws(",", transform(
+          array_sort(collect_list(struct(col("rk"), col("o_orderkey")))),
+          x => x.getField("o_orderkey").cast("string"))).as("top_orders"))
+      val perYear = orders
+        .groupBy(col("o_custkey"), year(col("o_orderdate")).cast("long").as("year_num"))
+        .agg(count(lit(1)).as("n_orders"), sum(m(col("o_totalprice"))).as("total_cents"))
+      val report = perYear
+        .join(topPacked, Seq("o_custkey"))
+        .join(broadcast(t(s, dir, "customer").select(col("c_custkey"), col("c_nationkey"))),
+          col("o_custkey") === col("c_custkey"))
+        .join(broadcast(t(s, dir, "nation")), col("c_nationkey") === col("n_nationkey"))
+        .select(col("o_custkey").as("custkey"), col("n_name").as("nation"),
+          col("year_num"), col("n_orders"), col("total_cents"), col("top_orders"))
+      val out = java.nio.file.Files.createTempDirectory("graft_report").toString
+      report.write.mode("overwrite").parquet(out)
+      s.read.parquet(out)
     })
   )
+
+  // ---- q50/q51 shared fixture: a crawl corpus DuckDB can re-derive --------
+
+  /** Oracle-crawl constants: users < [[OracleU]] of the events table, one
+    * page per event (p = per-user row_number by event_id), host = u mod 10,
+    * warc_ts = BASE − (3600·p + 7·u) seconds (globally unique ⇒ the per-host
+    * newest-first rank needs no hash tiebreak), paging link p→p+1, a cross
+    * link (u,p)→((u+1) mod U, 0) on every third page. Window [BASE−12600,
+    * BASE+3600) puts exactly pages p ≤ 3 in range for every user. */
+  private val OracleU = 40L
+  private val OracleBaseSec = 1735689600L // 2025-01-01T00:00:00Z
+
+  private def crawlOracleCorpus(s: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy("u").orderBy("event_id")
+    val pg = t(s, dir, "events").filter(col("user_id") < OracleU)
+      .select(col("user_id").cast("long").as("u"), col("event_id"))
+      .withColumn("p", row_number().over(w).cast("long") - 1)
+      .withColumn("cnt", count(lit(1)).over(Window.partitionBy("u")))
+    def urlOf(u: org.apache.spark.sql.Column, p: org.apache.spark.sql.Column) =
+      concat(lit("https://h"), pmod(u, lit(10L)).cast("string"), lit(".example.test/u/"),
+        u.cast("string"), lit("/p/"), p.cast("string"))
+    val htmlStr = concat(
+      lit("<p>page "), col("u").cast("string"), lit(" "), col("p").cast("string"), lit("</p>"),
+      when(col("p") + 1 < col("cnt"),
+        concat(lit("<a href=\""), urlOf(col("u"), col("p") + 1), lit("\">更多</a>")))
+        .otherwise(lit("")),
+      when(pmod(col("p"), lit(3L)) === 0,
+        concat(lit("<a href=\""), urlOf(pmod(col("u") + 1, lit(OracleU)), lit(0L)), lit("\">x</a>")))
+        .otherwise(lit("")))
+    pg.select(
+        urlOf(col("u"), col("p")).as("url"),
+        timestamp_seconds(lit(OracleBaseSec) - (col("p") * 3600 + col("u") * 7)).as("warc_ts"),
+        encode(htmlStr, "UTF-8").as("html"),
+        lit("en").as("lang"))
+      .withColumn("text", gf.extract_text_bin(col("html")))
+  }
+
+  private def crawlOracleEngine(s: SparkSession, dir: String): CrawlEngine = {
+    val st = java.nio.file.Files.createTempDirectory("graft_crawl_oracle").toString
+    val eng = new CrawlEngine(s, crawlOracleCorpus(s, dir), st,
+      CrawlConfig(defaultHostBudget = 1000000, maxDepth = 64, shufflePartitions = 8))
+    val since = new java.sql.Timestamp((OracleBaseSec - 12600L) * 1000)
+    val end = new java.sql.Timestamp((OracleBaseSec + 3600L) * 1000)
+    eng.initialize((0L until 3L).map(u => Seed(s"seed$u",
+      s"https://h$u.example.test/u/$u/p/0", since, end)))
+    eng
+  }
 
   /** q26's hyperplane constants inlined for the oracle — generated from the
     * SAME JVM doubles the Spark expression uses (Double.toString round-trips
@@ -1027,11 +1110,87 @@ object SparkEntry {
 
     "q60_stream_hourly_counts" ->
       """SELECT date_trunc('hour', ts) AS window_start, event_type, COUNT(*) AS cnt
-        |FROM events GROUP BY 1, 2""".stripMargin
-    // q50/q51 crawl internals: intentionally no oracle (engine-internal
-    // state) → rows-only check; correctness asserted by the CrawlSpec
-    // goldens instead. Every ANN variant is oracle-gated above (q26's
-    // hyperplanes and q27's stride centroids are operator constants the
-    // oracle reproduces).
+        |FROM events GROUP BY 1, 2""".stripMargin,
+
+    // q50/q51: the crawl itself, re-derived in SQL. The corpus is a pure
+    // function of the events table (see crawlOracleCorpus); with non-binding
+    // budgets, batches are BFS layers, so a recursive CTE reproduces the
+    // engine's fetched set (url, host, seed lineage, depth, batch id,
+    // per-host newest-first fetch ordinal, outlink count) and the frontier
+    // exactly — including dangling cross-links into nonexistent users.
+    "q50_crawl_batch" ->
+      (crawlOracleCte(maxDepthExcl = 2) +
+        """
+          |SELECT 'https://h' || (n.u % 10)::VARCHAR || '.example.test/u/' || n.u::VARCHAR || '/p/' || n.p::VARCHAR AS url_canon,
+          | 'h' || (n.u % 10)::VARCHAR || '.example.test' AS host,
+          | n.seed_id, n.depth, n.depth AS batch_id,
+          | CAST(n.fetch_ordinal AS BIGINT) AS fetch_ordinal,
+          | CAST((CASE WHEN n.p + 1 < pg.cnt THEN 1 ELSE 0 END)
+          |     + (CASE WHEN n.p % 3 = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_outlinks
+          |FROM nodes n JOIN pg ON pg.u = n.u AND pg.p = n.p
+          |WHERE n.p <= 3 AND n.depth <= 2""".stripMargin),
+
+    "q51_crawl_frontier" ->
+      (crawlOracleCte(maxDepthExcl = 2) +
+        """
+          |SELECT 'https://h' || (u % 10)::VARCHAR || '.example.test/u/' || u::VARCHAR || '/p/' || p::VARCHAR AS url_canon,
+          | 'h' || (u % 10)::VARCHAR || '.example.test' AS host,
+          | depth, seed_id
+          |FROM nodes WHERE depth = 2""".stripMargin),
+
+    "q65_export_report" ->
+      """WITH top AS (
+        |  SELECT o_custkey, o_orderkey,
+        |    ROW_NUMBER() OVER (PARTITION BY o_custkey ORDER BY o_totalprice DESC, o_orderkey) AS rk
+        |  FROM orders),
+        | ts AS (
+        |  SELECT o_custkey, string_agg(o_orderkey::VARCHAR, ',' ORDER BY rk) AS top_orders
+        |  FROM top WHERE rk <= 3 GROUP BY o_custkey),
+        | py AS (
+        |  SELECT o_custkey, CAST(year(o_orderdate) AS BIGINT) AS year_num, COUNT(*) AS n_orders,
+        |    CAST(SUM(CAST(ROUND(o_totalprice*100,0) AS BIGINT)) AS BIGINT) AS total_cents
+        |  FROM orders GROUP BY 1, 2)
+        |SELECT py.o_custkey AS custkey, n_name AS nation, year_num, n_orders, total_cents, top_orders
+        |FROM py JOIN ts USING (o_custkey)
+        |JOIN customer ON c_custkey = py.o_custkey
+        |JOIN nation ON n_nationkey = c_nationkey""".stripMargin
   )
+
+  /** Shared q50/q51 oracle prelude: derive the synthetic crawl corpus from
+    * events by the same arithmetic as crawlOracleCorpus, then BFS it with a
+    * recursive CTE bounded at `maxDepthExcl` expansion layers. `nodes` =
+    * first-discovery-wins frontier entries with the engine's dedup order
+    * (min batch, then priority desc, then seed) and the per-(host, batch)
+    * newest-first fetch ordinal. Priorities are globally unique by
+    * construction, so no hash tiebreak is needed. */
+  private def crawlOracleCte(maxDepthExcl: Int): String =
+    s"""WITH RECURSIVE
+       | pg AS (
+       |   SELECT user_id AS u,
+       |     CAST(ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY event_id) - 1 AS BIGINT) AS p,
+       |     COUNT(*) OVER (PARTITION BY user_id) AS cnt
+       |   FROM events WHERE user_id < $OracleU),
+       | bfs(u, p, depth, seed_id, prio) AS (
+       |   SELECT u, CAST(0 AS BIGINT), CAST(0 AS BIGINT), 'seed' || u::VARCHAR,
+       |     CAST(${OracleBaseSec + 3600} AS BIGINT)
+       |   FROM (VALUES (CAST(0 AS BIGINT)), (CAST(1 AS BIGINT)), (CAST(2 AS BIGINT))) s(u)
+       |   UNION ALL
+       |   SELECT CASE k.kind WHEN 1 THEN b.u ELSE (b.u + 1) % $OracleU END,
+       |     CASE k.kind WHEN 1 THEN b.p + 1 ELSE CAST(0 AS BIGINT) END,
+       |     b.depth + 1, b.seed_id,
+       |     CAST($OracleBaseSec AS BIGINT) - (b.p * 3600 + b.u * 7)
+       |   FROM bfs b
+       |   JOIN pg ON pg.u = b.u AND pg.p = b.p
+       |   CROSS JOIN (VALUES (1), (2)) k(kind)
+       |   WHERE b.depth < $maxDepthExcl AND b.p <= 3
+       |     AND (k.kind = 2 OR b.p + 1 < pg.cnt)
+       |     AND (k.kind = 1 OR b.p % 3 = 0)),
+       | chosen AS (
+       |   SELECT u, p, depth, seed_id, prio,
+       |     ROW_NUMBER() OVER (PARTITION BY u, p ORDER BY depth, prio DESC, seed_id) AS rn
+       |   FROM bfs),
+       | nodes AS (
+       |   SELECT u, p, depth, seed_id, prio,
+       |     ROW_NUMBER() OVER (PARTITION BY u % 10, depth ORDER BY prio DESC, u, p) AS fetch_ordinal
+       |   FROM chosen WHERE rn = 1)""".stripMargin
 }

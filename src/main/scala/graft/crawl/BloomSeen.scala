@@ -1,15 +1,15 @@
 package graft.crawl
 
 import java.io.{ByteArrayInputStream, ByteArrayOutputStream}
+import java.util.concurrent.ConcurrentHashMap
 
-import graft.functions.{gf => _}
+import org.apache.spark.broadcast.Broadcast
 import org.apache.spark.sql.Column
 import org.apache.spark.sql.catalyst.InternalRow
 import org.apache.spark.sql.catalyst.expressions.aggregate.TypedImperativeAggregate
 import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode, FalseLiteral}
 import org.apache.spark.sql.catalyst.expressions.codegen.Block._
-import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression, Literal, UnaryExpression}
-import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
+import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression}
 import org.apache.spark.sql.graftbridge.{toColumn, toExpression}
 import org.apache.spark.sql.types._
 import org.apache.spark.util.sketch.BloomFilter
@@ -26,11 +26,18 @@ import org.apache.spark.util.sketch.BloomFilter
  * so the prefilter preserves the reference's first-occurrence-wins semantics
  * while cutting the anti-join's probe side by ~the seen-rate.
  *
- * Scale design: shard by pmod(url_hash, S). Each shard builds its own filter
- * via this TypedImperativeAggregate (partial aggregation happens map-side, so
- * the shuffle carries S serialized filters, not 10^10 longs). At cluster
- * scale S is sized so each blob stays a few hundred MB and shards are
- * broadcast (or persisted per-executor); in this sandbox S is small.
+ * Scale design (round 3 — executor-resident, nothing O(|seen|) on the driver):
+ *  - shard by pmod(url_hash, S); each shard's filter is BUILT executor-side by
+ *    [[BloomBuildAgg]] (partial aggregation is map-side, so the shuffle carries
+ *    S serialized filters, not 10^10 longs) and FOLDED executor-side by
+ *    [[BloomMergeAgg]] (existing blob rows ∪ new key rows → merged blob);
+ *  - the snapshot tier rides a real `SparkContext.broadcast` handle (torrent
+ *    blocks, fetched once per executor and cached deserialized via
+ *    [[BloomProbeBroadcast.cachedFilters]]) — never a plan-embedded Literal
+ *    re-shipped and re-deserialized per task/batch;
+ *  - per-batch inserts become a small per-batch delta tier (capacity O(batch),
+ *    ~1.2 bytes/key at fpp 0.01) built by the same executor-side aggregate —
+ *    the driver only ever collects S blob rows per job, never the key set.
  */
 case class BloomBuildAgg(
     child: Expression,
@@ -75,30 +82,100 @@ case class BloomBuildAgg(
 }
 
 /**
- * Sharded probe: `blobs` is a FOLDABLE array<binary> of S serialized filters
- * (shard = floorMod(hash, S)); filters are deserialized once per task and
- * cached, mirroring Spark's own BloomFilterMightContain trick, so the per-row
- * cost is one hash + one filter probe inside whole-stage codegen.
+ * Executor-side snapshot fold: rows are either an existing serialized blob
+ * (same capacity/fpp as the buffer — mergeInPlace-compatible) or a key to
+ * insert. One group per shard ⇒ the new snapshot blob is produced where the
+ * data lives; the driver never replays keys. Used at compaction to fold the
+ * delta tiers into the snapshot tier without rescanning `seen`.
  */
-case class BloomProbeSharded(blobs: Expression, hash: Expression)
-  extends BinaryExpression {
+case class BloomMergeAgg(
+    blob: Expression,
+    key: Expression,
+    expectedItems: Long,
+    fpp: Double,
+    override val mutableAggBufferOffset: Int = 0,
+    override val inputAggBufferOffset: Int = 0)
+  extends TypedImperativeAggregate[BloomFilter] {
 
-  override def left: Expression = blobs
-  override def right: Expression = hash
+  override def children: Seq[Expression] = blob :: key :: Nil
+  override def nullable: Boolean = false
+  override def dataType: DataType = BinaryType
+
+  override def createAggregationBuffer(): BloomFilter =
+    BloomFilter.create(expectedItems, fpp)
+
+  override def update(buffer: BloomFilter, input: InternalRow): BloomFilter = {
+    val b = blob.eval(input)
+    if (b != null)
+      buffer.mergeInPlace(BloomFilter.readFrom(
+        new ByteArrayInputStream(b.asInstanceOf[Array[Byte]])))
+    val k = key.eval(input)
+    if (k != null) buffer.putLong(k.asInstanceOf[Long])
+    buffer
+  }
+
+  override def merge(buffer: BloomFilter, other: BloomFilter): BloomFilter = {
+    buffer.mergeInPlace(other); buffer
+  }
+
+  override def eval(buffer: BloomFilter): Any = serialize(buffer)
+
+  override def serialize(buffer: BloomFilter): Array[Byte] = {
+    val bos = new ByteArrayOutputStream()
+    buffer.writeTo(bos)
+    bos.toByteArray
+  }
+
+  override def deserialize(bytes: Array[Byte]): BloomFilter =
+    BloomFilter.readFrom(new ByteArrayInputStream(bytes))
+
+  override def withNewMutableAggBufferOffset(o: Int): BloomMergeAgg = copy(mutableAggBufferOffset = o)
+  override def withNewInputAggBufferOffset(o: Int): BloomMergeAgg = copy(inputAggBufferOffset = o)
+  override protected def withNewChildrenInternal(c: IndexedSeq[Expression]): BloomMergeAgg =
+    copy(blob = c(0), key = c(1))
+  override def prettyName: String = "bloom_merge"
+}
+
+/**
+ * Two-tier sharded probe:
+ *  - `snapshot`: a Broadcast of the S shard blobs at the last compaction —
+ *    shipped once (torrent), deserialized once per executor (static cache
+ *    keyed by broadcast id), O(|seen|) bytes live ONLY in executor/block
+ *    storage, not in the plan and not in a driver field;
+ *  - `recent`: the per-batch delta blobs since that snapshot (≤ compactEvery
+ *    entries, each O(batch) bytes) — small enough to ride the task closure.
+ *
+ * Per-row cost: one floorMod + 1 + |recent| filter probes, inside
+ * whole-stage codegen.
+ */
+case class BloomProbeBroadcast(
+    snapshot: Broadcast[Array[Array[Byte]]],
+    recent: Seq[Array[Array[Byte]]],
+    hash: Expression)
+  extends UnaryExpression {
+
+  override def child: Expression = hash
   override def dataType: DataType = BooleanType
   override def nullable: Boolean = false
 
-  @transient private lazy val filters: Array[BloomFilter] = {
-    val arr = blobs.eval(null).asInstanceOf[ArrayData]
-    (0 until arr.numElements()).map { i =>
-      BloomFilter.readFrom(new ByteArrayInputStream(arr.getBinary(i)))
-    }.toArray
-  }
+  @transient private lazy val tier1: Array[BloomFilter] =
+    BloomProbeBroadcast.cachedFilters(snapshot)
+
+  @transient private lazy val tier2: Array[Array[BloomFilter]] =
+    recent.map(_.map(b => BloomFilter.readFrom(new ByteArrayInputStream(b)))).toArray
 
   def probe(h: Long): Boolean = {
-    val fs = filters
-    if (fs.isEmpty) false
-    else fs(Math.floorMod(h, fs.length.toLong).toInt).mightContainLong(h)
+    val t1 = tier1
+    if (t1.isEmpty) return false
+    val shard = Math.floorMod(h, t1.length.toLong).toInt
+    if (t1(shard).mightContainLong(h)) return true
+    val t2 = tier2
+    var i = 0
+    while (i < t2.length) {
+      if (t2(i)(shard).mightContainLong(h)) return true
+      i += 1
+    }
+    false
   }
 
   override def eval(input: InternalRow): Any = {
@@ -107,7 +184,7 @@ case class BloomProbeSharded(blobs: Expression, hash: Expression)
   }
 
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
-    val ref = ctx.addReferenceObj("bloomProbe", this, classOf[BloomProbeSharded].getName)
+    val ref = ctx.addReferenceObj("bloomProbe", this, classOf[BloomProbeBroadcast].getName)
     val h = hash.genCode(ctx)
     ev.copy(
       code = code"""
@@ -116,21 +193,39 @@ case class BloomProbeSharded(blobs: Expression, hash: Expression)
       isNull = FalseLiteral)
   }
 
-  override protected def withNewChildrenInternal(l: Expression, r: Expression): BloomProbeSharded =
-    copy(blobs = l, hash = r)
+  override protected def withNewChildInternal(newChild: Expression): BloomProbeBroadcast =
+    copy(hash = newChild)
   override def prettyName: String = "bloom_probe"
 }
 
+object BloomProbeBroadcast {
+  /** Deserialize a broadcast's blobs once per executor (not per task): the
+    * broadcast manager caches the BYTES per executor; this caches the
+    * deserialized filters keyed by broadcast id. Bounded: old snapshots are
+    * evicted when a newer one arrives (at most a few live at once). */
+  private val cache = new ConcurrentHashMap[Long, Array[BloomFilter]]()
+
+  def cachedFilters(bc: Broadcast[Array[Array[Byte]]]): Array[BloomFilter] =
+    cache.computeIfAbsent(bc.id, { _ =>
+      if (cache.size > 4) cache.clear() // a fresh snapshot supersedes old ids
+      bc.value.map(b => BloomFilter.readFrom(new ByteArrayInputStream(b)))
+    })
+}
+
 object BloomSeen {
-  /** Column API: build one filter per group. */
+  /** Column API: build one filter per group (executor-side, map-side partials). */
   def bloom_build(c: Column, expectedItems: Long, fpp: Double = 0.01): Column =
     toColumn(BloomBuildAgg(toExpression(c), expectedItems, fpp)
       .toAggregateExpression())
 
-  /** Column API: probe against collected shard blobs (index = floorMod(hash, S)). */
-  def bloom_probe(shardBlobs: Seq[Array[Byte]], hashCol: Column): Column = {
-    val lit = Literal.create(new GenericArrayData(shardBlobs.toArray[Any]),
-      ArrayType(BinaryType, containsNull = false))
-    toColumn(BloomProbeSharded(lit, toExpression(hashCol)))
-  }
+  /** Column API: fold existing blob rows + key rows into one filter per group
+    * (capacity/fpp must match the blob rows' creation parameters). */
+  def bloom_merge(blob: Column, key: Column, expectedItems: Long, fpp: Double): Column =
+    toColumn(BloomMergeAgg(toExpression(blob), toExpression(key), expectedItems, fpp)
+      .toAggregateExpression())
+
+  /** Column API: probe the two-tier sharded filter (shard = floorMod(hash, S)). */
+  def bloom_probe(snapshot: Broadcast[Array[Array[Byte]]],
+      recent: Seq[Array[Array[Byte]]], hashCol: Column): Column =
+    toColumn(BloomProbeBroadcast(snapshot, recent, toExpression(hashCol)))
 }

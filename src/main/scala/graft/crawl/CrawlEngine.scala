@@ -1,8 +1,9 @@
 package graft.crawl
 
-import java.io.{ByteArrayInputStream, ByteArrayOutputStream}
+import java.io.ByteArrayOutputStream
 
 import graft.functions.gf
+import org.apache.spark.broadcast.Broadcast
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.{DataFrame, SparkSession}
@@ -48,6 +49,14 @@ case class Seed(seed_id: String, root_url: String,
  * @param compactEvery       fold frontier/seen deltas into a full base
  *                           snapshot every N batches (amortizes the only
  *                           O(|state|) write; per-batch writes are O(batch))
+ * @param corpusUnique       the pages corpus is declared unique per
+ *                           url_canon (e.g. a unique-keyed bucketed table):
+ *                           skip the per-batch latest-wins dedup of the
+ *                           fetch-join output
+ * @param probePushdownMaxKeys max probe keys pushed as literal predicates
+ *                           into the range-clustered state bases; larger
+ *                           probe sets fall back to the broadcast-semi full
+ *                           scan (0 disables pushdown)
  */
 case class CrawlConfig(
     defaultHostBudget: Int = 5,
@@ -65,7 +74,9 @@ case class CrawlConfig(
     detailedMetrics: Boolean = true,
     shardedRanking: Boolean = false,
     broadcastScheduled: Boolean = false,
-    compactEvery: Int = 8)
+    compactEvery: Int = 8,
+    corpusUnique: Boolean = false,
+    probePushdownMaxKeys: Int = 4096)
 
 /**
  * The URL-frontier + fetch-scheduler engine (BASELINE.json.north_rule).
@@ -90,13 +101,20 @@ case class CrawlConfig(
  *    check against seen/frontier is inverted into a broadcast-semi of the
  *    bounded batch keys against the big table, then a broadcast anti-join of
  *    the tiny match set back — no sort-merge of 10^10 rows anywhere;
- *  - **the bloom prefilter is maintained incrementally**: built once (or
- *    loaded from its persisted snapshot + replay of seen-deltas), then
- *    updated in place with each batch's bounded key set — never rebuilt by
- *    re-scanning seen per batch, never collected at O(|seen|) per batch.
- *    At cluster scale the same lifecycle runs executor-side with per-shard
- *    blobs co-partitioned with the frontier; in local mode the driver holds
- *    them (total size = ~1.2 bytes/key at fpp 0.01).
+ *  - **the bloom prefilter is maintained incrementally and lives executor-
+ *    side**: built once (or loaded from its persisted snapshot + an
+ *    executor-side replay of seen-deltas), the snapshot tier rides a real
+ *    `SparkContext.broadcast` (shipped once, cached deserialized per
+ *    executor — never a plan Literal, never a driver field of O(|seen|));
+ *    per-batch inserts become small executor-built delta blobs folded into
+ *    the next snapshot at compaction — the driver never materializes a key
+ *    set (total filter size = ~1.2 bytes/key at fpp 0.01);
+ *  - **membership probes are key-bounded**: batch-bounded probe key sets
+ *    are pushed as literal predicates into the range-clustered,
+ *    bucket-partitioned state bases (StateStore.readViewKeyed), so the
+ *    per-batch membership read is sublinear in |state| — partition pruning
+ *    picks the touched `_hb=` buckets, tight row-group min/max picks ~k row
+ *    groups.
  *
  * All steps are Dataset/Catalyst operators — Catalyst pushes the filters,
  * AQE picks join strategies and splits skewed partitions; the only
@@ -111,6 +129,13 @@ class CrawlEngine(
   import spark.implicits._
 
   val store = new StateStore(spark, stateDir)
+
+  // literal IN-sets must reach parquet as OR-chains: above the default
+  // threshold (10) Spark pushes only [min, max] — useless on random 64-bit
+  // hashes. The keyed probes cap their sets at probePushdownMaxKeys.
+  if (cfg.probePushdownMaxKeys > 0)
+    spark.conf.set("spark.sql.parquet.pushdown.inFilterThreshold",
+      math.max(cfg.probePushdownMaxKeys, 10).toString)
 
   /** pages keyed by canonical url — at cluster scale this is the Iceberg
     * table BUCKETED by the join key so the per-batch fetch join never
@@ -180,7 +205,7 @@ class CrawlEngine(
     * is "frontier already full", not "grown from 8 seeds"). */
   def initializeWithFrontier(frontier: DataFrame): Unit = {
     require(store.committedBatch < 0, s"state at $stateDir already initialized")
-    store.writeBase("frontier", -1L, frontier)
+    store.writeBase("frontier", -1L, frontier, clusterPartitions = cfg.shufflePartitions)
     store.writeBase("seen", -1L, emptySeen)
     // version -1 is readable but the pointer still says -1 ⇒ batch 0 is next
     store.commit(-1L)
@@ -224,77 +249,145 @@ class CrawlEngine(
     java.nio.file.Files.deleteIfExists(java.nio.file.Paths.get(stateDir, "_STOP"))
 
   // ------------------------------------------------------------------
-  // Incremental bloom prefilter lifecycle (U4/O5 — VERDICT r1 item 2)
+  // Incremental bloom prefilter lifecycle (U4/O5 — VERDICT r2 item 2):
+  // EXECUTOR-resident. Tier 1 (the snapshot at the last compaction) rides a
+  // real SparkContext.broadcast — torrent-shipped once, deserialized once per
+  // executor (BloomProbeBroadcast cache); the driver keeps only the handle,
+  // never a field sized O(|seen|), and the plan never embeds the blobs as a
+  // Literal. Tier 2 (per-batch deltas since the snapshot, ≤ compactEvery
+  // entries of O(batch) bytes each) is built EXECUTOR-SIDE by the bloom_build
+  // aggregate — the driver collects S blob rows per batch, never a key set.
+  // At compaction the tiers fold EXECUTOR-SIDE (bloom_merge over snapshot
+  // blob rows ∪ post-snapshot seen-delta keys) into the next snapshot.
   // ------------------------------------------------------------------
 
-  /** In-memory per-shard filters, kept across batches; null while |seen| is
-    * below bloomMinSeen (the filter costs more than the anti-join saves). */
-  private var blobs: Array[BloomFilter] = _
-  private var blobCapacity: Long = 0L // per-shard expectedItems at creation
+  private var bloomBc: Broadcast[Array[Array[Byte]]] = _
+  private val bloomRecent = scala.collection.mutable.ArrayBuffer[Array[Array[Byte]]]()
+  private var blobCapacity: Long = 0L // tier-1 per-shard expectedItems at creation
+  private var bloomSnapshotV: Long = Long.MinValue
   /** counts full builds (scan of seen) — tests assert it stays ≤ 1. */
   private[graft] var bloomFullBuilds: Int = 0
+  /** test hook: rows the driver collected for bloom maintenance — at most S
+    * blob rows per job, NEVER the key set (asserted by IncrementalStateSpec). */
+  private[graft] var bloomBlobRowsCollected: Long = 0L
 
-  private def serializedBlobs: Seq[Array[Byte]] = blobs.toSeq.map { bf =>
-    val bos = new ByteArrayOutputStream(); bf.writeTo(bos); bos.toByteArray
+  private def setSnapshot(blobs: Array[Array[Byte]], v: Long): Unit = {
+    val old = bloomBc
+    bloomBc = spark.sparkContext.broadcast(blobs)
+    bloomSnapshotV = v
+    bloomRecent.clear()
+    // unpersist (not destroy): earlier in-flight plans may still hold the old
+    // handle; executors drop their copies now, the ContextCleaner destroys the
+    // driver block once the handle is unreachable
+    if (old != null) old.unpersist()
   }
 
-  private def insertBlobs(hashes: Array[Long]): Unit = {
-    val s = cfg.bloomShards
-    var i = 0
-    while (i < hashes.length) {
-      val h = hashes(i)
-      blobs(Math.floorMod(h, s.toLong).toInt).putLong(h)
-      i += 1
+  /** Executor-side per-shard blob build over a key column; collects S blob
+    * rows (partial aggregation is map-side — the shuffle carries blobs). */
+  private def buildShardBlobs(keys: DataFrame, perShardCap: Long): Array[Array[Byte]] = {
+    val rows = keys
+      .groupBy(pmod($"url_hash", lit(cfg.bloomShards.toLong)).as("shard"))
+      .agg(BloomSeen.bloom_build($"url_hash", perShardCap, cfg.bloomFpp).as("blob"))
+      .collect()
+    bloomBlobRowsCollected += rows.length
+    lazy val empty: Array[Byte] = {
+      val bos = new ByteArrayOutputStream()
+      BloomFilter.create(perShardCap, cfg.bloomFpp).writeTo(bos)
+      bos.toByteArray
     }
+    val out = Array.tabulate(cfg.bloomShards)(_ => empty)
+    rows.foreach(r => out(r.getLong(0).toInt) = r.getAs[Array[Byte]]("blob"))
+    out
   }
 
-  /** One-time build by scanning the seen view at `v` (also the grow-rebuild
-    * path at compaction). Per-shard partial aggregation happens map-side, so
-    * the job collects S blobs, not |seen| longs. */
+  private def perShardCapFor(n: Long): Long = math.max(4L * n / cfg.bloomShards + 1, 64L)
+
+  /** One-time build by scanning the seen view at `v` (also the grow-rebuild /
+    * post-rotation path at compaction). Persisted immediately so folds and
+    * resumes always have an on-disk snapshot to start from. */
   private def buildBlobsFresh(v: Long, seenCount: Long): Unit = {
     bloomFullBuilds += 1
     blobCapacity = math.max(4L * seenCount / cfg.bloomShards + 1, 65536L)
-    blobs = Array.fill(cfg.bloomShards)(BloomFilter.create(blobCapacity, cfg.bloomFpp))
-    seen(v).groupBy(pmod($"url_hash", lit(cfg.bloomShards.toLong)).as("shard"))
-      .agg(BloomSeen.bloom_build($"url_hash", blobCapacity, cfg.bloomFpp).as("blob"))
-      .collect()
-      .foreach { r =>
-        blobs(r.getLong(0).toInt)
-          .mergeInPlace(BloomFilter.readFrom(new ByteArrayInputStream(r.getAs[Array[Byte]]("blob"))))
-      }
+    setSnapshot(buildShardBlobs(seen(v).select("url_hash"), blobCapacity), v)
+    persistBlobs(v)
   }
 
   /** Lazy init: load the persisted blob snapshot and replay seen-deltas since
     * (resume path), or build once from seen. Never a per-batch rebuild. */
   private def ensureBlobs(committed: Long, seenCount: Long): Unit = {
-    if (blobs != null || seenCount < cfg.bloomMinSeen) return
-    store.latestVersion("bloom", committed) match {
-      case Some(v) =>
-        val rows = store.read("bloom", v, sys.error("bloom version listed but unreadable")).collect()
-        blobCapacity = rows.head.getAs[Long]("capacity")
-        blobs = new Array[BloomFilter](cfg.bloomShards)
-        rows.foreach(r => blobs(r.getAs[Int]("shard")) =
-          BloomFilter.readFrom(new ByteArrayInputStream(r.getAs[Array[Byte]]("blob"))))
-        store.readDeltaAdds("seen", v, committed).foreach { d =>
-          insertBlobs(d.select("url_hash").collect().map(_.getLong(0)))
-        }
-      case None => buildBlobsFresh(committed, seenCount)
+    if (bloomBc != null || seenCount < cfg.bloomMinSeen) return
+    val snapV = store.latestVersion("bloom", committed)
+    // replay-gap guard (ADVICE r2): a seen base NEWER than the bloom snapshot
+    // means the deltas a replay would need may have been rewritten (rotation)
+    // or expired (expireOldState) — rebuild fresh instead of replaying a hole
+    // into a filter with false negatives.
+    if (snapV.isEmpty || store.latestBase("seen", committed).exists(_ > snapV.get)) {
+      buildBlobsFresh(committed, seenCount); return
+    }
+    val v = snapV.get
+    val rows = store.read("bloom", v, sys.error("bloom version listed but unreadable")).collect()
+    bloomBlobRowsCollected += rows.length
+    blobCapacity = rows.head.getAs[Long]("capacity")
+    val blobs = new Array[Array[Byte]](cfg.bloomShards)
+    rows.foreach(r => blobs(r.getAs[Int]("shard")) = r.getAs[Array[Byte]]("blob"))
+    setSnapshot(blobs, v)
+    // replay post-snapshot seen-deltas as one recent-tier entry — built
+    // executor-side; the driver never materializes the replayed keys
+    store.readDeltaAdds("seen", v, committed).foreach { d =>
+      val n = d.count()
+      if (n > 0) bloomRecent += buildShardBlobs(d.select("url_hash"), perShardCapFor(n))
     }
   }
 
-  /** Persist the blob snapshot (S small rows) — only at compaction points,
-    * so the O(blob-bytes) write is amortized like the base snapshots. */
-  private def persistBlobs(v: Long): Unit = if (blobs != null) {
-    val rows = serializedBlobs.zipWithIndex.map { case (b, i) => (i, b, blobCapacity) }
-    store.write("bloom", v, rows.toDF("shard", "blob", "capacity").coalesce(1))
+  /** Persist the current snapshot tier (S rows). Only called right after
+    * setSnapshot, when the recent tier is empty. */
+  private def persistBlobs(v: Long): Unit = if (bloomBc != null) {
+    val rows = bloomBc.value.zipWithIndex.map { case (b, i) => (i, b, blobCapacity) }
+    store.write("bloom", v, rows.toSeq.toDF("shard", "blob", "capacity").coalesce(1))
+    bloomSnapshotV = v
   }
 
-  /** Exact rebuild with doubled headroom once |seen| outgrows capacity —
-    * between rebuilds an overfull filter only degrades fpp (more exact-join
-    * work), never correctness (no false negatives possible). */
-  private def maybeRebuildBlobs(v: Long, seenCount: Long): Unit =
-    if (blobs != null && seenCount > blobCapacity * cfg.bloomShards / 2)
+  /** Compaction-point refresh: fold the recent tiers into the next snapshot
+    * EXECUTOR-SIDE (bloom_merge over snapshot blob rows ∪ post-snapshot
+    * seen-delta keys), or rebuild exactly with doubled headroom once |seen|
+    * outgrows capacity (between rebuilds an overfull filter only degrades fpp
+    * — more exact-probe work, never correctness: no false negatives). */
+  private def refreshBloomAtCompaction(v: Long, seenCount: Long): Unit = {
+    if (bloomBc == null) return
+    // an intervening seen base (rotation) means post-snapshot deltas may not
+    // cover the gap (and may already be expired) — exact rebuild instead
+    val intervening = store.latestBase("seen", v - 1).exists(_ > bloomSnapshotV)
+    if (seenCount > blobCapacity * cfg.bloomShards / 2 || intervening) {
       buildBlobsFresh(v, seenCount)
+    } else {
+      val blobRel = store.read("bloom", bloomSnapshotV,
+          sys.error("bloom snapshot missing at fold"))
+        .select($"shard".cast("long").as("shard"), $"blob",
+          lit(null).cast("long").as("url_hash"))
+      val deltas = store.readDeltaAdds("seen", bloomSnapshotV, v)
+        .map(_.select(pmod($"url_hash", lit(cfg.bloomShards.toLong)).as("shard"),
+          lit(null).cast("binary").as("blob"), $"url_hash"))
+      val unioned = deltas.fold(blobRel)(blobRel.unionByName(_))
+      val rows = unioned.groupBy("shard")
+        .agg(BloomSeen.bloom_merge($"blob", $"url_hash", blobCapacity, cfg.bloomFpp).as("blob"))
+        .collect()
+      bloomBlobRowsCollected += rows.length
+      val blobs = new Array[Array[Byte]](cfg.bloomShards)
+      rows.foreach(r => blobs(r.getLong(0).toInt) = r.getAs[Array[Byte]]("blob"))
+      setSnapshot(blobs, v)
+      persistBlobs(v)
+    }
+  }
+
+  /** Collect a bounded, distinct probe key set for predicate pushdown into
+    * the range-clustered state bases (VERDICT r2 item 3); None when it
+    * exceeds the cap — callers fall back to the broadcast-semi full scan. */
+  private def boundedKeys(df: DataFrame): Option[Array[Long]] = {
+    val cap = cfg.probePushdownMaxKeys
+    if (cap <= 0) return None
+    val rows = df.select("url_hash").distinct().limit(cap + 1).collect()
+    if (rows.length > cap) None else Some(rows.map(_.getLong(0)))
+  }
 
   private val timing = sys.env.contains("GRAFT_TIMING")
   private def timed[T](label: String)(f: => T): T = {
@@ -319,20 +412,26 @@ class CrawlEngine(
     // ---- F2: seen-set dedup — bloom prefilter + authoritative exact resolve.
     // !mightContain ⇒ definitely new (skips the join); mightContain ⇒ maybe
     // (false positives resolved exactly, so a never-seen url can never be
-    // dropped — FIXTURES.md §5.3). The maybe-set is tiny (bloom fpp ×
-    // |frontier| + rotation re-adds), so the exact resolve is INVERTED:
-    // semi-join the big seen scan against the broadcast maybe-keys, then
-    // broadcast the (even tinier) confirmed matches back — seen is scanned
-    // once, shuffle-free, instead of sort-merge-shuffling 10^10 rows.
+    // dropped — FIXTURES.md §5.3). The maybe-set is small (bloom fpp ×
+    // |frontier| + rotation re-adds), so the exact resolve is KEY-BOUNDED:
+    // when the maybe keys fit the pushdown cap they are pushed as literal
+    // predicates into the range-clustered seen base (partition + row-group
+    // pruning — the read is sublinear in |seen|); above the cap it falls back
+    // to the inverted broadcast-semi (seen scanned once, shuffle-free — never
+    // a sort-merge of 10^10 rows).
     timed("bloom_ensure")(ensureBlobs(committed, seenCount))
     val candidates =
-      if (blobs != null) {
+      if (bloomBc != null) {
         val probed = front.withColumn("_maybe_seen",
-          BloomSeen.bloom_probe(serializedBlobs, $"url_hash"))
+          BloomSeen.bloom_probe(bloomBc, bloomRecent.toList, $"url_hash"))
         val definitelyNew = probed.filter(!$"_maybe_seen").drop("_maybe_seen")
         val maybe = probed.filter($"_maybe_seen").drop("_maybe_seen")
-        val seenMatch = seenDf.select("url_hash")
-          .join(broadcast(maybe.select("url_hash")), Seq("url_hash"), "left_semi")
+        val seenMatch = timed("maybe_keys")(boundedKeys(maybe)) match {
+          case Some(ks) => store.readViewKeyed("seen", committed, emptySeen, ks)
+            .select("url_hash")
+          case None => seenDf.select("url_hash")
+            .join(broadcast(maybe.select("url_hash")), Seq("url_hash"), "left_semi")
+        }
         val resolved = maybe.join(broadcast(seenMatch), Seq("url_hash"), "left_anti")
         definitelyNew.unionByName(resolved)
       } else front // frontier ∩ seen = ∅ is maintained by construction below
@@ -439,10 +538,26 @@ class CrawlEngine(
         schedDf.join(pagesSel, Seq("url_canon"), "left_outer")
           .withColumn("found", $"page_url".isNotNull)
 
+    // corpus hygiene (ADVICE r2): canonicalize_url collapses case / default
+    // ports / fragments / dot-segments, so two distinct raw page urls can
+    // share a url_canon — the fetch join would then emit multiple parsed rows
+    // per url_hash, writing duplicates into the seen delta and drifting the
+    // arithmetic size caches. Latest-warc_ts wins, deterministic page_url
+    // tiebreak; the window is over the BATCH-bounded join output (the corpus
+    // itself never shuffles). corpusUnique=true skips the pass when the
+    // corpus is unique-keyed by construction (e.g. a bucketed table with a
+    // declared unique key — the bench corpus).
+    val fetchedUniq = if (cfg.corpusUnique) fetchedRaw else {
+      val wDedup = Window.partitionBy($"url_hash")
+        .orderBy($"warc_ts".desc_nulls_last, $"page_url".asc_nulls_last)
+      fetchedRaw.withColumn("_pick", row_number().over(wDedup))
+        .filter($"_pick" === 1).drop("_pick")
+    }
+
     // O7/O8 inverted (real fetches only): parallel across hosts, sequential
     // within a (host, salt) shard — pace() repartitions so one task owns each
     // shard's token-bucket. Data-only runs skip the extra shuffle entirely.
-    val paced = if (cfg.realTimePacing) pace(fetchedRaw) else fetchedRaw
+    val paced = if (cfg.realTimePacing) pace(fetchedUniq) else fetchedUniq
 
     // ---- F3 time window + U1 parse + invariant check + U5 outlinks.
     // Windows are HALF-OPEN [since, end): the reference's inclusive 23:59:59
@@ -538,9 +653,14 @@ class CrawlEngine(
     // Membership filters run BEFORE the first-wins dedup shuffle, so the
     // shuffle carries only genuinely-new links (in steady state most links
     // point at already-seen pages — filtering after dedup shuffled them all).
-    // The seen/frontier checks are INVERTED like the candidate resolve: the
-    // bounded link keys broadcast-semi against the big scans, the tiny hit
-    // sets broadcast back — no big-side shuffle anywhere.
+    // The seen/frontier checks are KEY-BOUNDED (VERDICT r2 item 3): the link
+    // key set is batch-bounded by construction (O(batch × fanout)), so it is
+    // collected once from the parsed log and pushed as literal predicates
+    // into the range-clustered bases — partition + row-group pruning makes
+    // the per-batch membership read sublinear in |state|. Above the pushdown
+    // cap it falls back to the r2 inversion: the link keys broadcast-semi
+    // against the big scans, the tiny hit sets broadcast back — either way,
+    // no big-side shuffle anywhere.
     val linksRaw = parsedDf.filter(size($"outlinks") > 0)
       .select($"seed_id", $"since_ts", $"end_ts", $"depth", $"warc_ts",
         explode($"outlinks").as("url"))
@@ -548,11 +668,15 @@ class CrawlEngine(
       .withColumn("url_hash", xxhash64($"url_canon"))
       .withColumn("child_depth", $"depth" + 1)
       .filter($"child_depth" <= cfg.maxDepth)
-    val linkKeys = linksRaw.select("url_hash") // dups fine for semi probes
-    val seenHit = seenDf.select("url_hash")
-      .join(broadcast(linkKeys), Seq("url_hash"), "left_semi")
-    val frontHit = front.select("url_hash")
-      .join(broadcast(linkKeys), Seq("url_hash"), "left_semi")
+    val linkKeyArr = timed("link_keys")(boundedKeys(linksRaw))
+    def membershipHits(table: String, fullDf: DataFrame, schemaOf: => DataFrame): DataFrame =
+      linkKeyArr match {
+        case Some(ks) => store.readViewKeyed(table, committed, schemaOf, ks).select("url_hash")
+        case None => fullDf.select("url_hash")
+          .join(broadcast(linksRaw.select("url_hash")), Seq("url_hash"), "left_semi")
+      }
+    val seenHit = membershipHits("seen", seenDf, emptySeen)
+    val frontHit = membershipHits("frontier", front, emptyFrontier)
     val newFrontAdds = linksRaw
       .join(broadcast(processedHashes), Seq("url_hash"), "left_anti")
       .join(broadcast(seenHit), Seq("url_hash"), "left_anti")
@@ -589,11 +713,12 @@ class CrawlEngine(
     timed("write_fr_dels")(store.writeDeltaDels("frontier", batchId, processedRows))
     timed("write_seen_adds")(store.writeDeltaAdds("seen", batchId, seenAdds))
 
-    // incremental bloom maintenance: insert ONLY this batch's bounded key set
-    // (collect is O(batch)); must precede persistBlobs so a snapshot at this
-    // version needs no replay of its own batch
-    if (blobs != null) timed("bloom_insert") {
-      insertBlobs(processedHashes.collect().map(_.getLong(0)))
+    // incremental bloom maintenance: this batch's keys become one recent-tier
+    // delta blob, built EXECUTOR-SIDE by the bloom_build aggregate — the
+    // driver collects S blob rows (O(batch) bytes), never the key set
+    if (bloomBc != null) timed("bloom_delta") {
+      val n = schedCount + robotsBlockedCount
+      if (n > 0) bloomRecent += buildShardBlobs(processedHashes, perShardCapFor(n))
     }
 
     // arithmetic size updates: dels are frontier-present exactly once,
@@ -603,12 +728,12 @@ class CrawlEngine(
     val newSeenSize = seenCount + schedCount + robotsBlockedCount
     val newFrontierSize = frontCount - (schedCount + robotsBlockedCount) + addsCount
 
-    // amortized compaction: fold deltas into hash-clustered base snapshots
+    // amortized compaction: fold deltas into range-clustered base snapshots
+    // and fold the bloom recent tiers into the next snapshot (executor-side)
     if (cfg.compactEvery > 0 && (batchId + 1) % cfg.compactEvery == 0) timed("compact") {
       store.compact("frontier", batchId, emptyFrontier, cfg.shufflePartitions)
       store.compact("seen", batchId, emptySeen, cfg.shufflePartitions)
-      maybeRebuildBlobs(batchId, newSeenSize)
-      persistBlobs(batchId)
+      refreshBloomAtCompaction(batchId, newSeenSize)
     }
 
     val candidateCount = if (cfg.detailedMetrics) candidates.count() else -1L
@@ -688,15 +813,22 @@ class CrawlEngine(
       .join(broadcast(roots.select("url_hash")), Seq("url_hash"), "left_anti")
       .unionByName(roots)
     store.write("seeds", batchId, rotated)
-    // rotation = compaction point: write full bases (rare by design)
-    store.writeBase("frontier", batchId, newFrontier)
-    store.writeBase("seen", batchId, newSeen)
-    val seenNow = seen(batchId).count()
-    val frontNow = frontier(batchId).count()
-    // blobs keep the forgotten keys — a harmless false-positive superset
-    // resolved by the exact membership check; persist so resume replays
-    // only post-rotation deltas
-    persistBlobs(batchId)
+    // rotation = compaction point: write full bases (rare by design); the
+    // size counts piggyback on the write jobs via Observation — no extra
+    // O(|state|) count actions (VERDICT r2 item 8)
+    val frontObs = org.apache.spark.sql.Observation()
+    val seenObs = org.apache.spark.sql.Observation()
+    store.writeBase("frontier", batchId, newFrontier,
+      clusterPartitions = cfg.shufflePartitions, rowCount = Some(frontObs))
+    store.writeBase("seen", batchId, newSeen,
+      clusterPartitions = cfg.shufflePartitions, rowCount = Some(seenObs))
+    val frontNow = frontObs.get("n").asInstanceOf[Long]
+    val seenNow = seenObs.get("n").asInstanceOf[Long]
+    // the in-memory bloom keeps the forgotten keys — a harmless
+    // false-positive superset resolved by the exact membership check. No
+    // snapshot is persisted here: the new seen base is NEWER than the bloom
+    // snapshot, so both the resume path and the next compaction fold detect
+    // the gap and rebuild exactly (ensureBlobs/refreshBloomAtCompaction).
     store.appendLog("ledger", batchId,
       ledgerRow(batchId, "ROTATED", seenNow, frontierSize = frontNow))
     store.commit(batchId)

@@ -30,10 +30,18 @@ object QueryPack {
     * un-partitioned `Window.orderBy` shape does exactly that at scale). The
     * offset is then applied on the bounded ≤ page·size prefix, where a
     * single-partition window is O(page·size), not O(|table|).
+    *
+    * `order ++ tiebreak` MUST be a total order: with ties at the prefix
+    * boundary, the partial top-k's tie selection and the window's re-rank are
+    * two independent choices, so a tied row could be dropped from or repeated
+    * across consecutive pages (ADVICE r2). Pass a unique key column as
+    * `tiebreak` when `order` alone isn't total.
     * For deep pages prefer [[pageAfter]] (keyset pagination). */
-  def paginate(df: DataFrame, order: Seq[Column], page: Int, pageSize: Int): DataFrame = {
-    val prefix = df.orderBy(order: _*).limit(page * pageSize)
-    val w = Window.orderBy(order: _*)
+  def paginate(df: DataFrame, order: Seq[Column], page: Int, pageSize: Int,
+      tiebreak: Seq[Column] = Nil): DataFrame = {
+    val total = order ++ tiebreak
+    val prefix = df.orderBy(total: _*).limit(page * pageSize)
+    val w = Window.orderBy(total: _*)
     prefix.withColumn("_rn", row_number().over(w))
       .filter(col("_rn") > (page - 1).toLong * pageSize)
       .drop("_rn")

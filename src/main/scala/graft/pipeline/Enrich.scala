@@ -61,13 +61,16 @@ object Enrich {
     import docs.sparkSession.implicits._
     docs.mapPartitions { rows =>
       val client = clientFactory() // partition-local lifecycle
-      val out = rows.grouped(batchSize).flatMap { batch =>
+      // close via the task-completion listener, NOT an iterator-drain hook
+      // (ADVICE r2): a downstream limit/take or a task failure mid-partition
+      // never exhausts the iterator — a drain hook would leak one client
+      // (connection pool) per such task. The listener fires on success,
+      // failure, and cancellation alike.
+      Option(org.apache.spark.TaskContext.get())
+        .foreach(_.addTaskCompletionListener[Unit](_ => client.close()))
+      rows.grouped(batchSize).flatMap { batch =>
         val results = client.analyzeBatch(batch.map(_.text))
         batch.iterator.zip(results.iterator).map { case (r, a) => Enriched(r.doc_id, r.text, a) }
-      }
-      new Iterator[Enriched] {
-        def hasNext: Boolean = { val h = out.hasNext; if (!h) client.close(); h }
-        def next(): Enriched = out.next()
       }
     }
   }

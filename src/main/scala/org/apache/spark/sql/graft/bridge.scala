@@ -23,6 +23,22 @@ object graftbridge {
     df.asInstanceOf[classic.Dataset[Row]].queryExecution
       .explainString(org.apache.spark.sql.execution.SimpleMode)
 
+  /** FileSourceScanExec leaves of the FINAL physical plan (descends through
+    * AQE wrappers, materialized query stages, and subqueries) — for
+    * scan-pruning assertions on executed queries. */
+  def fileScans(df: Dataset[Row]): Seq[execution.FileSourceScanExec] = {
+    def rec(p: execution.SparkPlan): Seq[execution.FileSourceScanExec] = {
+      val self = p match {
+        case f: execution.FileSourceScanExec => Seq(f)
+        case a: execution.adaptive.AdaptiveSparkPlanExec => rec(a.executedPlan)
+        case q: execution.adaptive.QueryStageExec => rec(q.plan)
+        case _ => Nil
+      }
+      self ++ p.children.flatMap(rec) ++ p.subqueries.flatMap(rec)
+    }
+    rec(df.asInstanceOf[classic.Dataset[Row]].queryExecution.executedPlan)
+  }
+
   /** DataFrame → RDD[InternalRow] (post-optimization physical output). */
   def toInternalRdd(df: Dataset[Row]): org.apache.spark.rdd.RDD[catalyst.InternalRow] =
     df.asInstanceOf[classic.Dataset[Row]].queryExecution.toRdd

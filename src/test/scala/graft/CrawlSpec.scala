@@ -113,14 +113,24 @@ class CrawlSpec extends AnyFunSuite {
   }
 
   test("bloom prefilter never drops a never-seen url (no false negatives)") {
-    // direct property on the aggregate + probe
+    // direct property on the aggregate + broadcast probe (snapshot tier)
     val hashes = spark.range(0, 2000).select(xxhash64($"id").as("h"))
     val blobs = hashes.groupBy(pmod($"h", lit(4L)).as("shard"))
       .agg(BloomSeen.bloom_build($"h", 1000, 0.01).as("blob"))
-      .collect().sortBy(_.getLong(0)).map(_.getAs[Array[Byte]]("blob")).toSeq
-    val misses = hashes.withColumn("c", BloomSeen.bloom_probe(blobs, $"h"))
+      .collect().sortBy(_.getLong(0)).map(_.getAs[Array[Byte]]("blob"))
+    assert(blobs.length == 4)
+    val bc = spark.sparkContext.broadcast(blobs)
+    val misses = hashes.withColumn("c", BloomSeen.bloom_probe(bc, Nil, $"h"))
       .filter(!$"c").count()
     assert(misses == 0, "bloom claimed a present element absent")
+    // recent-tier probe: keys only in a delta blob are still found
+    val extra = spark.range(5000, 5200).select(xxhash64($"id").as("h"))
+    val delta = extra.groupBy(pmod($"h", lit(4L)).as("shard"))
+      .agg(BloomSeen.bloom_build($"h", 256, 0.01).as("blob"))
+      .collect().sortBy(_.getLong(0)).map(_.getAs[Array[Byte]]("blob"))
+    val misses2 = extra.withColumn("c", BloomSeen.bloom_probe(bc, Seq(delta), $"h"))
+      .filter(!$"c").count()
+    assert(misses2 == 0, "recent-tier delta blob not probed")
   }
 
   test("resume: kill after k batches == uninterrupted run (MERGE checkpoint)") {
@@ -397,6 +407,51 @@ class IncrementalStateSpec extends org.scalatest.funsuite.AnyFunSuite {
       eng2.ledger().get.orderBy($"batch_id".desc).select("seen_size").head.getLong(0))
   }
 
+  test("keyed membership probe prunes the base scan to the touched buckets (files-read metric)") {
+    import org.apache.spark.sql.graftbridge
+    val dir = tmp()
+    val store = new StateStore(spark, dir)
+    val rows = spark.range(0, 50000)
+      .select(xxhash64($"id").as("url_hash"), $"id".as("payload"))
+    store.writeBase("t", 0L, rows, clusterPartitions = 8)
+    val keys = rows.orderBy($"url_hash").limit(3).collect().map(_.getLong(0))
+    val aqeBefore = spark.conf.get("spark.sql.adaptive.enabled")
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    try {
+      def filesRead(df: org.apache.spark.sql.DataFrame): Long = {
+        df.collect()
+        graftbridge.fileScans(df).map(_.metrics("numFiles").value).sum
+      }
+      val keyed = store.readViewKeyed("t", 0L, rows.limit(0), keys)
+      // semantics: identical to the broadcast-semi membership resolve
+      assert(keyed.select("url_hash").collect().map(_.getLong(0)).toSet == keys.toSet)
+      val keyedFiles = filesRead(store.readViewKeyed("t", 0L, rows.limit(0), keys))
+      val fullFiles = filesRead(store.readView("t", 0L, rows.limit(0)))
+      assert(fullFiles >= 8, s"expected a multi-file clustered base, got $fullFiles")
+      // 3 keys → ≤3 _hb buckets → a bounded handful of files, NOT the table
+      assert(keyedFiles <= 6 && keyedFiles < fullFiles / 2,
+        s"probe of 3 keys read $keyedFiles of $fullFiles base files — partition pruning missing")
+    } finally spark.conf.set("spark.sql.adaptive.enabled", aqeBefore)
+  }
+
+  test("bloom maintenance is executor-side: the driver collects blob rows, never the key set") {
+    val dir = tmp()
+    val cfg = CrawlConfig(defaultHostBudget = 4, shufflePartitions = 4,
+      bloomMinSeen = 1, compactEvery = 2)
+    val eng = new CrawlEngine(spark, pagesDF, dir, cfg)
+    eng.initialize(seeds(6))
+    val ms = eng.run(4)
+    // every bloom job (fresh build, per-batch delta, compaction fold, resume
+    // load) returns at most S=bloomShards blob rows; a driver that ever
+    // materialized a key set would blow this bound by orders of magnitude
+    val jobsUpperBound = cfg.bloomShards.toLong * (2L * ms.length + 3L)
+    assert(eng.bloomBlobRowsCollected > 0 && eng.bloomBlobRowsCollected <= jobsUpperBound,
+      s"driver collected ${eng.bloomBlobRowsCollected} rows for bloom maintenance — " +
+        s"must be ≤ $jobsUpperBound blob rows (S per job), never O(keys)")
+    // and the prefilter still never drops: no url fetched twice
+    assert(eng.fetched().get.groupBy("url_hash").count().filter($"count" > 1).count() == 0)
+  }
+
   test("bloom lifecycle: one full build, then incremental; resume loads snapshot + replays deltas") {
     val dir = tmp()
     val cfg = CrawlConfig(defaultHostBudget = 4, shufflePartitions = 4,
@@ -474,6 +529,35 @@ class WindowAndGuardSpec extends org.scalatest.funsuite.AnyFunSuite {
       .join(errs.get.select("url_hash"), Seq("url_hash"), "left_semi").count()
     assert(lingering == 0)
     // arithmetic size maintenance stays exact with the recovery in play
+    assert(ms.last("seen_size") == eng.seen().count())
+    assert(ms.last("frontier_size") == eng.frontier().count())
+  }
+
+  test("duplicate url_canon rows in the corpus: emitted once, arithmetic exact (ADVICE r2)") {
+    val base = PagesGen.BaseTsMillis
+    def mk(url: String, ts: Long, html: String) =
+      Page(url, new java.sql.Timestamp(ts), html.getBytes("UTF-8"),
+        TextExtract.extractText(html), "en")
+    val u0 = "https://hd.example.test/u/0/p/0"
+    // same canonical form: uppercase scheme/host + explicit default port
+    val u0dup = "HTTPS://HD.example.test:443/u/0/p/0"
+    val u1 = "https://hd.example.test/u/0/p/1"
+    val pages = Seq(
+      mk(u0, base - 3600_000L, s"""newest<a href="$u1">next</a>"""),
+      mk(u0dup, base - 7200_000L, "older duplicate, no links"),
+      mk(u1, base - 7200_000L, "tail page")).toDF
+    val eng = new CrawlEngine(spark, pages, tmp(),
+      CrawlConfig(shufflePartitions = 2, maxDepth = 4))
+    eng.initialize(Seq(Seed("s", u0,
+      new java.sql.Timestamp(base - 86400_000L), new java.sql.Timestamp(base))))
+    val ms = eng.run(3)
+    val f = eng.fetched().get
+    // latest-warc_ts wins: one emission, and it is the newer row (has the link)
+    assert(f.filter($"url_canon" === u0).count() == 1)
+    assert(f.filter($"url_canon" === u0).head.getAs[Int]("n_outlinks") == 1)
+    assert(f.filter($"url_canon" === u1).count() == 1, "link from the kept row must expand")
+    // seen delta carries no duplicate keys; arithmetic caches stay exact
+    assert(eng.seen().groupBy("url_hash").count().filter($"count" > 1).count() == 0)
     assert(ms.last("seen_size") == eng.seen().count())
     assert(ms.last("frontier_size") == eng.frontier().count())
   }
