@@ -60,17 +60,32 @@ object Bench {
       defaultHostBudget = 2000000, defaultDelayMs = 0L,
       maxDepth = 8, saltBuckets = 64, shufflePartitions = cpus * 2,
       bloomMinSeen = 100000, cachePages = false, broadcastScheduled = true,
-      detailedMetrics = false, shardedRanking = true))
+      detailedMetrics = false, shardedRanking = true,
+      corpusUnique = true)) // PagesGen urls are unique by construction
     eng.initializeWithFrontier(preload)
     val t0 = System.nanoTime()
     val ms = eng.run(batches)
     val dt = (System.nanoTime() - t0) / 1e9
+    // bench state dirs hold corpus-sized scheduled/parsed logs (~GBs) —
+    // repeated bench runs without cleanup fill the disk
+    try {
+      val st = java.nio.file.Files.walk(java.nio.file.Paths.get(stateDir))
+      try st.sorted(java.util.Comparator.reverseOrder[java.nio.file.Path]())
+        .forEach(f => java.nio.file.Files.deleteIfExists(f))
+      finally st.close()
+    } catch { case _: Throwable => }
     (ms.map(_("fetched")).sum, dt)
   }
 
-  /** Launch ScalingProbe in an isolated child JVM pinned to `cpus` processors. */
+  /** Launch ScalingProbe in an isolated child JVM pinned to `cpus`
+    * processors. Output goes to a temp FILE, not a pipe (ADVICE r2): with N
+    * concurrent children, sequential pipe draining let a chatty child block
+    * on a full 64 KB pipe buffer mid-run, stalling its measured stage. */
+  private case class Child(proc: Process, out: java.io.File)
+
   private def childStart(cpus: Int, nPages: Long, bodyRepeat: Int,
-      mode: String, heapGb: Int): Process = {
+      mode: String, heapGb: Int, env: Map[String, String] = Map.empty,
+      pin: Boolean = true): Child = {
     val addOpens = Seq(
       "java.base/java.lang", "java.base/java.lang.invoke",
       "java.base/java.lang.reflect", "java.base/java.io",
@@ -80,19 +95,27 @@ object Bench {
       "java.base/sun.nio.ch", "java.base/sun.nio.cs",
       "java.base/sun.security.action", "java.base/sun.util.calendar"
     ).flatMap(pkg => Seq("--add-opens", s"$pkg=ALL-UNNAMED"))
-    val cmd = Seq(s"${System.getProperty("java.home")}/bin/java") ++ addOpens ++ Seq(
-      s"-XX:ActiveProcessorCount=$cpus", s"-Xmx${heapGb}g", "-XX:+UseParallelGC",
+    val pinFlags = if (pin) Seq(s"-XX:ActiveProcessorCount=$cpus") else Nil
+    val cmd = Seq(s"${System.getProperty("java.home")}/bin/java") ++ addOpens ++ pinFlags ++ Seq(
+      s"-Xmx${heapGb}g", "-XX:+UseParallelGC",
       "-Dspark.ui.enabled=false", "-Dspark.sql.session.timeZone=UTC",
       "-cp", System.getProperty("java.class.path"),
       "graft.tools.ScalingProbe", cpus.toString, nPages.toString, bodyRepeat.toString, mode)
-    new ProcessBuilder(cmd: _*).redirectErrorStream(true).start()
+    val out = java.io.File.createTempFile("graft_child", ".out")
+    val pb = new ProcessBuilder(cmd: _*).redirectErrorStream(true)
+      .redirectOutput(java.lang.ProcessBuilder.Redirect.to(out))
+    env.foreach { case (k, v) => pb.environment().put(k, v) }
+    Child(pb.start(), out)
   }
 
-  private def childCollect(proc: Process, tag: String): Map[String, Map[String, String]] = {
-    val lines = scala.io.Source.fromInputStream(proc.getInputStream).getLines()
+  private def childCollect(child: Child, tag: String): Map[String, Map[String, String]] = {
+    child.proc.waitFor()
+    val src = scala.io.Source.fromFile(child.out)
+    val lines = try src.getLines()
       .map { l => if (sys.env.contains("GRAFT_TIMING")) System.err.println(s"[$tag] $l"); l }
       .filter(_.startsWith("PROBE")).toList
-    proc.waitFor()
+    finally src.close()
+    child.out.delete()
     lines.map { l =>
       val prefix = l.split("\\s+")(0)
       prefix -> l.split("\\s+").collect { case s if s.contains("=") =>
@@ -117,6 +140,37 @@ object Bench {
   }
 
   case class ChildResult(fetched: Long, sec: Double, stageTp: Double, parseTp: Double)
+
+  /** FULL e2e crawl (state commits, bloom, delta writes) under `nExec` REAL
+    * executor JVMs of 8 cores each — the north-rule two-cluster-size control
+    * (VERDICT r2 item 1). The driver JVM is unpinned (identical in both
+    * layouts); each executor JVM is pinned to its 8 slots by ScalingProbe's
+    * spark.executor.extraJavaOptions. */
+  private def lcCrawl(nExec: Int, nPages: Long, bodyRepeat: Int): (Long, Double) = {
+    val env = Map(
+      "GRAFT_MASTER" -> s"local-cluster[$nExec,8,10240]",
+      "SPARK_HOME" -> "/opt/spark",
+      "SPARK_SCALA_VERSION" -> "2.13")
+    def once(): (Long, Double) = {
+      val kv = childCollect(
+        childStart(nExec * 8, nPages, bodyRepeat, "crawl", 16, env, pin = false),
+        s"lc-$nExec")
+      val e2e = kv.getOrElse("PROBE", Map.empty)
+      require(e2e.nonEmpty, s"local-cluster[$nExec,8] child produced no PROBE line")
+      (e2e("fetched").toLong, e2e("sec").toDouble)
+    }
+    try once() catch { case e: Throwable =>
+      System.err.println(s"[bench] lc-$nExec failed once (${e.getMessage}); retrying")
+      once()
+    }
+  }
+
+  /** Shared-disk parquet sink bandwidth at `cpus` cores — names the
+    * non-scaling write term of the e2e crawl on this one-disk box. */
+  private def sinkProbe(cpus: Int): Double = {
+    val kv = childCollect(childStart(cpus, 0L, 0, "sink", 16), s"sink-$cpus")
+    kv.get("PROBE4").flatMap(_.get("mbps")).map(_.toDouble).getOrElse(-1)
+  }
 
   /** Multi-process control: `procs` CONCURRENT 8-core JVMs each running the
     * scan+parse stage and the memory-resident parse stage — the in-sandbox
@@ -146,9 +200,11 @@ object Bench {
     // child has idle-core headroom, biasing the ratio), so the children get
     // the quiet machine and the headline crawl comes from the pinned
     // 32-core child, not an in-session run.
+    val lcPages = sys.env.getOrElse("SPARK_GRAFT_LC_PAGES", "6000000").toLong
     var spark = session(cpus)
     corpus(spark, benchPages, bodyRepeat).count()
     corpus(spark, 200000, 250).count() // PROBE3 corpus — generate once at full width
+    if (!skipScaling) corpus(spark, lcPages, bodyRepeat).count() // local-cluster corpus
     val inSession: Option[(Long, Double)] =
       if (skipScaling) Some(crawlBench(spark, benchPages, cpus, batches = 2, bodyRepeat))
       else None
@@ -193,6 +249,17 @@ object Bench {
       val fourAgg = fours.map(_.map(_._2).sum).max
       val effMp = fourAgg / (4.0 * solo)
       val effMpStage = fourStAgg / (4.0 * soloSt)
+      // ---- local-cluster e2e crawl: FULL engine under 1 vs 4 REAL executor
+      // JVMs, interleaved min-of-2 per level (one-sided host noise)
+      val lcOrder = Seq(1, 4, 4, 1)
+      val lcAll = lcOrder.map(nx => nx -> lcCrawl(nx, lcPages, bodyRepeat))
+      def lcTp(nx: Int) = lcAll.collect { case (`nx`, (f, sec)) => f / sec }.max
+      val (lcTp1, lcTp4) = (lcTp(1), lcTp(4))
+      val lcEff = lcTp4 / (4.0 * lcTp1)
+      // ---- shared-disk sink bandwidth: 8 vs 32 cores — names the flat
+      // write term of the e2e crawl on this one-disk box
+      val (sink8, sink32) = (sinkProbe(8), sinkProbe(32))
+      val sinkScaling = sink32 / sink8
       scalingJson = s""","scaling":{"sec_8":${r1(r8.sec)},"tp_8":${r1(tp8)},""" +
         s""""sec_32":${r1(r32.sec)},"tp_32":${r1(tp32)},""" +
         s""""efficiency_8_to_32":${r3(eff)},""" +
@@ -203,12 +270,19 @@ object Bench {
         s""""parse_1x8jvm_tp":${r1(solo)},"parse_4x8jvm_agg_tp":${r1(fourAgg)},""" +
         s""""multiproc_efficiency":${r3(effMp)},""" +
         s""""stage_1x8jvm_tp":${r1(soloSt)},"stage_4x8jvm_agg_tp":${r1(fourStAgg)},""" +
-        s""""stage_multiproc_efficiency":${r3(effMpStage)}}"""
+        s""""stage_multiproc_efficiency":${r3(effMpStage)},""" +
+        s""""lc_crawl_pages":$lcPages,""" +
+        s""""lc_crawl_tp_1x8":${r1(lcTp1)},"lc_crawl_tp_4x8":${r1(lcTp4)},""" +
+        s""""crawl_localcluster_efficiency":${r3(lcEff)},""" +
+        s""""sink_mbps_8":${r1(sink8)},"sink_mbps_32":${r1(sink32)},""" +
+        s""""sink_scaling":${r3(sinkScaling)}}"""
       scalingLine = s""","scaling":{"sec_8":${r1(r8.sec)},"tp_8":${r1(tp8)},""" +
         s""""sec_32":${r1(r32.sec)},"tp_32":${r1(tp32)},""" +
         s""""efficiency_8_to_32":${r3(eff)},"stage_efficiency":${r3(effStage)},""" +
         s""""parse_efficiency":${r3(effParse)},"multiproc_efficiency":${r3(effMp)},""" +
-        s""""stage_multiproc_efficiency":${r3(effMpStage)}}"""
+        s""""stage_multiproc_efficiency":${r3(effMpStage)},""" +
+        s""""lc_crawl_tp_1x8":${r1(lcTp1)},"lc_crawl_tp_4x8":${r1(lcTp4)},""" +
+        s""""crawl_localcluster_efficiency":${r3(lcEff)},"sink_scaling":${r3(sinkScaling)}}"""
     }
 
     // ---- phase 3: query pack on sfDir (after scaling — its 64 GB-heap

@@ -636,8 +636,11 @@ object SparkEntry {
 
   private def crawlOracleEngine(s: SparkSession, dir: String): CrawlEngine = {
     val st = java.nio.file.Files.createTempDirectory("graft_crawl_oracle").toString
-    val eng = new CrawlEngine(s, crawlOracleCorpus(s, dir), st,
-      CrawlConfig(defaultHostBudget = 1000000, maxDepth = 64, shufflePartitions = 8))
+    // persist: the corpus is derived (window + html render + extract_text);
+    // without it every per-batch corpus scan re-runs the derivation
+    val eng = new CrawlEngine(s, crawlOracleCorpus(s, dir).persist(), st,
+      CrawlConfig(defaultHostBudget = 1000000, maxDepth = 64, shufflePartitions = 8,
+        detailedMetrics = false))
     val since = new java.sql.Timestamp((OracleBaseSec - 12600L) * 1000)
     val end = new java.sql.Timestamp((OracleBaseSec + 3600L) * 1000)
     eng.initialize((0L until 3L).map(u => Seed(s"seed$u",

@@ -426,13 +426,24 @@ class CrawlEngine(
           BloomSeen.bloom_probe(bloomBc, bloomRecent.toList, $"url_hash"))
         val definitelyNew = probed.filter(!$"_maybe_seen").drop("_maybe_seen")
         val maybe = probed.filter($"_maybe_seen").drop("_maybe_seen")
-        val seenMatch = timed("maybe_keys")(boundedKeys(maybe)) match {
-          case Some(ks) => store.readViewKeyed("seen", committed, emptySeen, ks)
-            .select("url_hash")
+        // arithmetic pre-check: the expected maybe-set is ~fpp × |frontier|;
+        // when that already exceeds the pushdown cap, don't pay a collect
+        // job that would only hit the cap and fall back anyway
+        val maybeBounded =
+          if (cfg.bloomFpp * frontCount > cfg.probePushdownMaxKeys) None
+          else timed("maybe_keys")(boundedKeys(maybe))
+        // broadcast hints only where boundedness is PROVEN (the keyed path's
+        // ≤ cap rows); elsewhere AQE decides from runtime stats — a bounded
+        // maybe-set still broadcasts, an unbounded bench-sized one becomes a
+        // partitioned join instead of a driver-built multi-MB broadcast
+        // shipped to every executor
+        val seenMatch = maybeBounded match {
+          case Some(ks) => broadcast(
+            store.readViewKeyed("seen", committed, emptySeen, ks).select("url_hash"))
           case None => seenDf.select("url_hash")
-            .join(broadcast(maybe.select("url_hash")), Seq("url_hash"), "left_semi")
+            .join(maybe.select("url_hash"), Seq("url_hash"), "left_semi")
         }
-        val resolved = maybe.join(broadcast(seenMatch), Seq("url_hash"), "left_anti")
+        val resolved = maybe.join(seenMatch, Seq("url_hash"), "left_anti")
         definitelyNew.unionByName(resolved)
       } else front // frontier ∩ seen = ∅ is maintained by construction below
 
@@ -668,19 +679,30 @@ class CrawlEngine(
       .withColumn("url_hash", xxhash64($"url_canon"))
       .withColumn("child_depth", $"depth" + 1)
       .filter($"child_depth" <= cfg.maxDepth)
-    val linkKeyArr = timed("link_keys")(boundedKeys(linksRaw))
+    // arithmetic pre-check: a batch with more parsed pages than the key cap
+    // almost surely produces more link keys than the cap — skip the collect
+    // and go straight to the broadcast-semi fallback (a wrong skip only
+    // costs the r2-shaped full-scan path, never correctness)
+    val linkKeyArr =
+      if (schedParsed > cfg.probePushdownMaxKeys) None
+      else timed("link_keys")(boundedKeys(linksRaw))
+    // hit sets from the keyed path are provably bounded (≤ cap) — hint the
+    // broadcast; fallback sets are batch-sized, so AQE decides (bounded
+    // politeness batches still broadcast from runtime stats; unbounded bench
+    // batches become partitioned joins — no serial driver broadcast builds)
     def membershipHits(table: String, fullDf: DataFrame, schemaOf: => DataFrame): DataFrame =
       linkKeyArr match {
-        case Some(ks) => store.readViewKeyed(table, committed, schemaOf, ks).select("url_hash")
+        case Some(ks) => broadcast(
+          store.readViewKeyed(table, committed, schemaOf, ks).select("url_hash"))
         case None => fullDf.select("url_hash")
-          .join(broadcast(linksRaw.select("url_hash")), Seq("url_hash"), "left_semi")
+          .join(linksRaw.select("url_hash"), Seq("url_hash"), "left_semi")
       }
     val seenHit = membershipHits("seen", seenDf, emptySeen)
     val frontHit = membershipHits("frontier", front, emptyFrontier)
     val newFrontAdds = linksRaw
-      .join(broadcast(processedHashes), Seq("url_hash"), "left_anti")
-      .join(broadcast(seenHit), Seq("url_hash"), "left_anti")
-      .join(broadcast(frontHit), Seq("url_hash"), "left_anti")
+      .join(processedHashes, Seq("url_hash"), "left_anti")
+      .join(seenHit, Seq("url_hash"), "left_anti")
+      .join(frontHit, Seq("url_hash"), "left_anti")
       .withColumn("host", gf.url_host($"url_canon"))
       .withColumn("priority_ts", $"warc_ts")
       .withColumn("discovered_batch", lit(batchId))
@@ -709,7 +731,11 @@ class CrawlEngine(
 
     // ---- atomic multi-table delta commit (Iceberg MERGE analog):
     // O(batch) bytes — never a rewrite of the full seen/frontier state.
-    timed("write_fr_adds")(store.writeDeltaAdds("frontier", batchId, newFrontAdds))
+    // The adds count piggybacks on the write job (Observation) — no
+    // re-read of the delta just to count it.
+    val addsObs = org.apache.spark.sql.Observation()
+    timed("write_fr_adds")(store.writeDeltaAdds("frontier", batchId,
+      newFrontAdds.observe(addsObs, count(lit(1)).as("n"))))
     timed("write_fr_dels")(store.writeDeltaDels("frontier", batchId, processedRows))
     timed("write_seen_adds")(store.writeDeltaAdds("seen", batchId, seenAdds))
 
@@ -723,8 +749,7 @@ class CrawlEngine(
 
     // arithmetic size updates: dels are frontier-present exactly once,
     // adds are frontier-absent (anti-joined above) — no O(|state|) count jobs
-    val addsCount = timed("adds_count")(
-      store.readDeltaAdds("frontier", batchId - 1, batchId).map(_.count()).getOrElse(0L))
+    val addsCount = addsObs.get("n").asInstanceOf[Long]
     val newSeenSize = seenCount + schedCount + robotsBlockedCount
     val newFrontierSize = frontCount - (schedCount + robotsBlockedCount) + addsCount
 

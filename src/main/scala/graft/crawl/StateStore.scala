@@ -241,9 +241,12 @@ class StateStore(spark: SparkSession, root: String) {
       case (None, Some(a))    => a
       case (None, None)       => return schemaOf.limit(0)
     }
+    // no broadcast hint on the del keys: politeness-bounded del sets are
+    // broadcast by AQE from runtime stats anyway; unbounded (bench-sized)
+    // ones become a partitioned join instead of a driver-built broadcast
     val view = readDeltaDels(table, baseV.getOrElse(Long.MinValue), v) match {
       case Some(dels) =>
-        all.join(broadcast(dels),
+        all.join(dels,
           all("url_hash") === dels("_del_hash") && dels("_del_batch") > all("_add_batch"),
           "left_anti")
       case None => all

@@ -5,7 +5,7 @@ object ScalingProbe {
     val cpus = args(0).toInt
     val n = args(1).toLong
     val rep = args(2).toInt
-    val mode = if (args.length > 3) args(3) else "all" // all | parse
+    val mode = if (args.length > 3) args(3) else "all" // all | parse | crawl
     // GRAFT_MASTER overrides the master — e.g. local-cluster[4,8,8192]
     // launches 4 REAL executor JVMs with 8 cores each (the in-sandbox
     // equivalent of spark-submit on a 4-node standalone cluster; each
@@ -18,9 +18,15 @@ object ScalingProbe {
       .config("spark.ui.enabled", "false")
       .config("spark.driver.memory", "48g")
     if (master.startsWith("local-cluster")) {
+      // pin each REAL executor JVM like a quarter-machine node: its own
+      // heap, ParallelGC, and a processor count matching its task slots
+      val execCores = master.substring(master.indexOf('[') + 1, master.indexOf(']'))
+        .split(',')(1).trim
       b.config("spark.executor.extraClassPath", "/root/repo/target/scala-2.13/classes")
         .config("spark.executor.memory",
           sys.env.getOrElse("GRAFT_EXECUTOR_MEM", "7g"))
+        .config("spark.executor.extraJavaOptions",
+          s"-XX:ActiveProcessorCount=$execCores -XX:+UseParallelGC")
     }
     val s = b.getOrCreate()
     s.sparkContext.setLogLevel("WARN")
@@ -40,13 +46,38 @@ object ScalingProbe {
     }
     import org.apache.spark.sql.functions._
     import s.implicits._
-    if (mode == "all") {
+    if (mode == "all" || mode == "crawl") {
       // untimed warmup: a small crawl compiles the hot paths (whole-stage
       // codegen, parser JIT, parquet decode) so the timed run measures the
       // steady state, not cold-JVM compilation
       graft.Bench.crawlBench(s, 50000L, cpus, 1, rep)
       val (f, dt) = graft.Bench.crawlBench(s, n, cpus, 2, rep)
       println(f"PROBE cpus=$cpus fetched=$f sec=$dt%.2f tp=${f / dt}%.0f")
+    }
+    if (mode == "crawl") { s.stop(); return } // e2e crawl only (local-cluster runs)
+
+    if (mode == "sink") {
+      // shared-disk parquet sink bandwidth — the crawl's per-batch log/state
+      // writes land on this one device at any core count; a flat PROBE4
+      // across 8 vs 32 cores NAMES the non-scaling write term of the e2e
+      // crawl (a real cluster writes to per-node disks / object storage)
+      import org.apache.spark.sql.functions._
+      val out = s"/tmp/graft_sink_probe_$cpus"
+      val rows = 2000000L
+      val payload = concat((0 until 16).map(k => sha2(concat($"id".cast("string"), lit(s":$k")), 256)): _*)
+      val df = s.range(0, rows, 1, cpus * 2).select($"id", payload.as("doc"))
+      df.write.mode("overwrite").parquet(out) // warm (JIT + allocator)
+      val t0 = System.nanoTime()
+      df.write.mode("overwrite").parquet(out)
+      val dt = (System.nanoTime() - t0) / 1e9
+      val bytes = java.nio.file.Files.walk(java.nio.file.Paths.get(out))
+        .filter(p => p.toString.endsWith(".parquet")).mapToLong(p => p.toFile.length()).sum()
+      println(f"PROBE4 cpus=$cpus sec=$dt%.2f mbps=${bytes / dt / 1e6}%.0f rows=$rows")
+      val st = java.nio.file.Files.walk(java.nio.file.Paths.get(out))
+      try st.sorted(java.util.Comparator.reverseOrder[java.nio.file.Path]())
+        .forEach(f => java.nio.file.Files.deleteIfExists(f))
+      finally st.close()
+      s.stop(); return
     }
 
     // fetch+parse stage in isolation (corpus scan → fused parse → agg):
