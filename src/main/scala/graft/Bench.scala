@@ -56,6 +56,12 @@ object Bench {
         lit(wideEnd).as("end_ts"),
         lit(-1L).as("discovered_batch"))
     val stateDir = java.nio.file.Files.createTempDirectory(s"graft_bench_$cpus").toString
+    // broadcastScheduled=true: measured fastest at bench batch sizes — the
+    // scheduled broadcast build is a flat driver term, but the BHJ never
+    // moves a page byte (scan → join → parse in place), which beats the
+    // semi-filter + batch-sized shuffle join that must move the matched
+    // pages' html through the shuffle (measured 96.9k vs 61.1k urls/s at
+    // local-cluster[4,8] on 6M pages)
     val eng = new CrawlEngine(spark, pages, stateDir, CrawlConfig(
       defaultHostBudget = 2000000, defaultDelayMs = 0L,
       maxDepth = 8, saltBuckets = 64, shufflePartitions = cpus * 2,

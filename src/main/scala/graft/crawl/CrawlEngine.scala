@@ -545,9 +545,23 @@ class CrawlEngine(
     val fetchedRaw =
       if (cfg.broadcastScheduled)
         pagesSel.join(broadcast(schedDf), Seq("url_canon")).withColumn("found", lit(true))
-      else
-        schedDf.join(pagesSel, Seq("url_canon"), "left_outer")
+      else {
+        // default fetch shape (round 3): semi-filter then batch-sized join.
+        // A tiny 8-byte-key broadcast (the scheduled url hashes) prunes the
+        // corpus scan to the matched pages; the outer join then runs over
+        // TWO batch-sized sides — a fully parallel shuffle join — instead of
+        // either shuffling the whole corpus (the r2 default) or
+        // driver-building a full-row scheduled broadcast (broadcastScheduled
+        // with an unbounded batch: a ~450 MB serial HashedRelation, measured
+        // as a flat ~10-20 s/batch term on the executor-JVM scaling pair).
+        // Hash collisions only let extra pages through the semi; the outer
+        // join's url_canon equality discards them — exactness unaffected.
+        val schedKeys = schedDf.select($"url_hash")
+        val pagesMatched = pagesSel
+          .join(broadcast(schedKeys), xxhash64($"url_canon") === schedKeys("url_hash"), "left_semi")
+        schedDf.join(pagesMatched, Seq("url_canon"), "left_outer")
           .withColumn("found", $"page_url".isNotNull)
+      }
 
     // corpus hygiene (ADVICE r2): canonicalize_url collapses case / default
     // ports / fragments / dot-segments, so two distinct raw page urls can
@@ -732,20 +746,34 @@ class CrawlEngine(
     // ---- atomic multi-table delta commit (Iceberg MERGE analog):
     // O(batch) bytes — never a rewrite of the full seen/frontier state.
     // The adds count piggybacks on the write job (Observation) — no
-    // re-read of the delta just to count it.
+    // re-read of the delta just to count it. The four jobs below are
+    // independent (all derive from the already-written parsed log), so they
+    // are SUBMITTED CONCURRENTLY — each is a small job whose fixed
+    // submission/commit latency would otherwise serialize on the driver
+    // (the per-batch fixed term of the executor-JVM scaling pair).
     val addsObs = org.apache.spark.sql.Observation()
-    timed("write_fr_adds")(store.writeDeltaAdds("frontier", batchId,
-      newFrontAdds.observe(addsObs, count(lit(1)).as("n"))))
-    timed("write_fr_dels")(store.writeDeltaDels("frontier", batchId, processedRows))
-    timed("write_seen_adds")(store.writeDeltaAdds("seen", batchId, seenAdds))
-
+    val commitPool = scala.concurrent.ExecutionContext.global
+    val fAdds = scala.concurrent.Future(timed("write_fr_adds")(
+      store.writeDeltaAdds("frontier", batchId,
+        newFrontAdds.observe(addsObs, count(lit(1)).as("n")))))(commitPool)
+    val fDels = scala.concurrent.Future(timed("write_fr_dels")(
+      store.writeDeltaDels("frontier", batchId, processedRows)))(commitPool)
+    val fSeen = scala.concurrent.Future(timed("write_seen_adds")(
+      store.writeDeltaAdds("seen", batchId, seenAdds)))(commitPool)
     // incremental bloom maintenance: this batch's keys become one recent-tier
     // delta blob, built EXECUTOR-SIDE by the bloom_build aggregate — the
-    // driver collects S blob rows (O(batch) bytes), never the key set
-    if (bloomBc != null) timed("bloom_delta") {
-      val n = schedCount + robotsBlockedCount
-      if (n > 0) bloomRecent += buildShardBlobs(processedHashes, perShardCapFor(n))
-    }
+    // driver collects S blob rows (O(batch) bytes), never the key set.
+    // The blobs are appended to the recent tier AFTER the await (driver
+    // state is only touched from this thread).
+    val fBloom: Option[scala.concurrent.Future[Array[Array[Byte]]]] =
+      if (bloomBc != null && schedCount + robotsBlockedCount > 0)
+        Some(scala.concurrent.Future(timed("bloom_delta")(
+          buildShardBlobs(processedHashes,
+            perShardCapFor(schedCount + robotsBlockedCount))))(commitPool))
+      else None
+    import scala.concurrent.duration.Duration
+    Seq(fAdds, fDels, fSeen).foreach(scala.concurrent.Await.result(_, Duration.Inf))
+    fBloom.foreach(f => bloomRecent += scala.concurrent.Await.result(f, Duration.Inf))
 
     // arithmetic size updates: dels are frontier-present exactly once,
     // adds are frontier-absent (anti-joined above) — no O(|state|) count jobs
