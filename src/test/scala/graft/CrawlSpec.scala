@@ -562,6 +562,32 @@ class WindowAndGuardSpec extends org.scalatest.funsuite.AnyFunSuite {
     assert(ms.last("frontier_size") == eng.frontier().count())
   }
 
+  test("semi-filtered default fetch on an OPEN corpus: missing urls dead-letter via found=false") {
+    // the round-3 default path (8-byte-key semi-filter + batch-sized outer
+    // join) must keep the outer-join dead-letter semantics: a scheduled url
+    // absent from the corpus yields found=false, leaves the frontier, and
+    // the arithmetic size caches stay exact
+    val N = 256L
+    val pages = PagesGen.pages(spark, N, 4).toDF
+    val open = pages.filter(!col("url").endsWith("/p/2")) // break the chains
+    val eng = new CrawlEngine(spark, open, tmp(),
+      CrawlConfig(defaultHostBudget = 4, maxDepth = 32, shufflePartitions = 4))
+    eng.initialize(PagesGen.seedRows(N, 3).map(Seed.tupled))
+    val ms = eng.run(6)
+    assert(ms.map(_("not_found")).sum > 0, "missing urls must be detected")
+    // not-found rows are in the parsed log with found=false and never emitted
+    val parsedLog = eng.store.readLog("parsed", Long.MaxValue).get
+    assert(parsedLog.filter(!col("found")).count() == ms.map(_("not_found")).sum)
+    assert(eng.fetched().get.filter(col("url_canon").endsWith("/p/2")).count() == 0)
+    // they do not linger in the frontier (no silent reschedule-forever)
+    val lingering = eng.frontier()
+      .join(parsedLog.filter(!col("found")).select("url_hash"), Seq("url_hash"), "left_semi")
+      .count()
+    assert(lingering == 0)
+    assert(ms.last("seen_size") == eng.seen().count())
+    assert(ms.last("frontier_size") == eng.frontier().count())
+  }
+
   test("sharded ranking with budget % saltBuckets != 0: per-host total == host_budget, never over") {
     val N = 512L
     val pages = PagesGen.pages(spark, N, 4).toDF
