@@ -595,6 +595,40 @@ object SparkEntry {
       val out = java.nio.file.Files.createTempDirectory("graft_report").toString
       report.write.mode("overwrite").parquet(out)
       s.read.parquet(out)
+    }),
+
+    // ---- X12: cookie parse (weibo.py:343-372) -------------------------------
+    "q66_cookie_parse" -> ((s, dir) => {
+      import graft.functions.ScalarOps
+      val id = col("doc_id").cast("string")
+      t(s, dir, "documents").withColumn("cookie",
+          when(pmod(col("doc_id"), lit(4)) === 0,
+            concat(lit("SUB=abc"), id, lit("; _T_WM=tw"), id,
+              lit("; XSRF-TOKEN=x"), id, lit("; other=zz")))
+            .when(pmod(col("doc_id"), lit(4)) === 1, concat(lit("SUB=s"), id))
+            .when(pmod(col("doc_id"), lit(4)) === 2,
+              concat(lit("k1 = v"), id, lit("; k2=w"), id, lit("; junk")))
+            .otherwise(lit("")))
+        .select(col("doc_id"),
+          ScalarOps.cookieMode(col("cookie")).as("mode"),
+          ScalarOps.cookieField(col("cookie"), "SUB").as("sub"),
+          ScalarOps.cookieField(col("cookie"), "_T_WM").as("t_wm"),
+          ScalarOps.cookieField(col("cookie"), "XSRF-TOKEN").as("xsrf"),
+          ScalarOps.cookiePairCount(col("cookie")).cast("long").as("n_pairs"))
+    }),
+
+    // ---- S15: HTTP POST side-output sink (weibo.py:1998-2037) — rows go
+    // through the batched, retrying foreachPartition sink (capture transport
+    // stands in for HTTP in this container) and are read back as JSON:
+    // an exact round-trip through the sink, oracle-gated like q61/q64.
+    "q67_post_sink_roundtrip" -> ((s, dir) => {
+      import s.implicits._
+      val chan = "q67_" + java.util.UUID.randomUUID().toString
+      val src = t(s, dir, "documents").select(col("doc_id"), col("lang"), col("n_chars"))
+      graft.pipeline.PostSink.postJson(src,
+        () => new graft.pipeline.CapturePostClient(chan), batchSize = 64, backoffMs = 0)
+      val posted = graft.pipeline.CapturePostClient.drain(chan)
+      s.read.schema("doc_id BIGINT, lang STRING, n_chars BIGINT").json(posted.toDS)
     })
   )
 
@@ -1140,6 +1174,20 @@ object SparkEntry {
           | 'h' || (u % 10)::VARCHAR || '.example.test' AS host,
           | depth, seed_id
           |FROM nodes WHERE depth = 2""".stripMargin),
+
+    "q66_cookie_parse" ->
+      """SELECT doc_id,
+        | CASE WHEN doc_id % 4 IN (0, 1) THEN 'sub'
+        |      WHEN doc_id % 4 = 2 THEN 'full' ELSE 'empty' END AS mode,
+        | CASE WHEN doc_id % 4 = 0 THEN 'abc' || doc_id
+        |      WHEN doc_id % 4 = 1 THEN 's' || doc_id END AS sub,
+        | CASE WHEN doc_id % 4 = 0 THEN 'tw' || doc_id END AS t_wm,
+        | CASE WHEN doc_id % 4 = 0 THEN 'x' || doc_id END AS xsrf,
+        | CAST(CASE doc_id % 4 WHEN 0 THEN 4 WHEN 1 THEN 1 WHEN 2 THEN 2 ELSE 0 END AS BIGINT) AS n_pairs
+        |FROM documents""".stripMargin,
+
+    "q67_post_sink_roundtrip" ->
+      """SELECT doc_id, lang, n_chars FROM documents""".stripMargin,
 
     "q65_export_report" ->
       """WITH top AS (

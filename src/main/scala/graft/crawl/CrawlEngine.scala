@@ -124,7 +124,8 @@ class CrawlEngine(
     spark: SparkSession,
     pages: DataFrame,
     stateDir: String,
-    cfg: CrawlConfig = CrawlConfig()) {
+    cfg: CrawlConfig = CrawlConfig(),
+    notifier: Notifier = Notifier.none) {
 
   import spark.implicits._
 
@@ -807,8 +808,19 @@ class CrawlEngine(
     frontierSizeCache = newFrontierSize
     missingRows.foreach(_.unpersist())
     if (!cfg.robotsDisallow.isEmpty) robotsBlocked.unpersist()
+    // U6 — health notifications (util/notify.py; weibo.py:436-450,1804):
+    // anomalies alert ONCE per condition (the reference suppresses repeats)
+    if (invariantViolations > 0) notifyOnce("invariant",
+      s"batch $batchId: $invariantViolations parse-invariant violations")
+    if (schedCount > 0 && notFound == schedCount) notifyOnce("all_missing",
+      s"batch $batchId: all $schedCount scheduled fetches missing from the corpus " +
+        "(the cookie-invalid analog: every fetch failing)")
     metrics
   }
+
+  private val notifiedConditions = scala.collection.mutable.Set[String]()
+  private def notifyOnce(condition: String, message: String): Unit =
+    if (notifiedConditions.add(condition)) notifier.notify(message)
 
   private def ledgerRow(batchId: Long, state: String, seenSizeNow: Long,
       candidates: Long = -1, scheduled: Long = -1, fetchedN: Long = -1,
@@ -996,6 +1008,7 @@ class CrawlEngine(
       if (stopRequested) {
         store.appendLog("ledger", store.committedBatch + 1,
           ledgerRow(store.committedBatch + 1, "STOPPED", seenSize(store.committedBatch)))
+        notifyOnce("stopped", s"run stopped by command at batch ${store.committedBatch + 1}")
         continue = false
       } else if (frontierSize(store.committedBatch) == 0) {
         // arithmetic size cache — no per-iteration Spark job

@@ -60,4 +60,38 @@ object ScalarOps {
     when(c.rlike("^\\d{4}-\\d{2}-\\d{2}$"), concat(c, lit("T23:59:59"))).otherwise(c)
   def normalizeSince(c: Column): Column =
     when(c.rlike("^\\d{4}-\\d{2}-\\d{2}$"), concat(c, lit("T00:00:00"))).otherwise(c)
+
+  // ------------------------------------------------------------------
+  // X12 — cookie parse (weibo.py:343-372, `_apply_cookie_to_session`):
+  // prefer the core SUB cookie (plus the _T_WM / XSRF-TOKEN backup
+  // fingerprints); when no "SUB=" is present, fall back to loading ALL
+  // `k=v` pairs (split on ';', first '=' wins, keys/values trimmed).
+  // Pure Catalyst columns — the same naive substring semantics as the
+  // reference's re.search over the whole string.
+  // ------------------------------------------------------------------
+
+  /** value of one cookie by name — `NAME=(.*?)(;|$)` ≡ `NAME=([^;]*)`;
+    * null when the name never occurs. */
+  def cookieField(c: Column, name: String): Column = {
+    val v = regexp_extract(c, name + "=([^;]*)", 1)
+    when(c.contains(name + "="), v)
+  }
+
+  /** the reference's three-way mode decision: 'sub' (core SUB extracted),
+    * 'full' (non-empty but no SUB ⇒ load all pairs), 'empty'. */
+  def cookieMode(c: Column): Column =
+    when(c.isNull || c === "", "empty")
+      .when(c.contains("SUB="), "sub")
+      .otherwise("full")
+
+  /** fallback pair list: array<struct<k,v>> of trimmed `k=v` pairs
+    * (pairs without '=' are dropped, weibo.py:369-372). */
+  def cookiePairs(c: Column): Column =
+    transform(
+      filter(split(c, ";"), p => p.contains("=")),
+      p => struct(
+        trim(substring_index(p, "=", 1)).as("k"),
+        trim(p.substr(instr(p, "=") + 1, length(p))).as("v")))
+
+  def cookiePairCount(c: Column): Column = size(cookiePairs(c))
 }

@@ -212,6 +212,38 @@ class CrawlSpec extends AnyFunSuite {
     eng.clearStop()
   }
 
+  test("notifier: health anomalies alert once per condition (U6, weibo.py:436-450)") {
+    // invariant violation: a corpus row whose text column lies about its html
+    val base = PagesGen.BaseTsMillis
+    val badHtml = "<b>real text</b>"
+    val liar = Seq(Page("https://hn.example.test/u/0/p/0",
+      new java.sql.Timestamp(base - 3600_000L), badHtml.getBytes("UTF-8"),
+      "a different text entirely", "en")).toDF
+    val n1 = new CapturingNotifier
+    val e1 = new CrawlEngine(spark, liar, tmp(), CrawlConfig(shufflePartitions = 2), n1)
+    e1.initialize(Seq(Seed("s", "https://hn.example.test/u/0/p/0",
+      new java.sql.Timestamp(base - 86400_000L), new java.sql.Timestamp(base))))
+    e1.run(3)
+    assert(n1.messages.count(_.contains("invariant")) == 1,
+      s"expected exactly one invariant alert, got ${n1.messages}")
+
+    // cookie-invalid analog: EVERY scheduled fetch missing from the corpus
+    val n2 = new CapturingNotifier
+    val empty = Seq.empty[Page].toDF
+    val e2 = new CrawlEngine(spark, empty, tmp(), CrawlConfig(shufflePartitions = 2), n2)
+    e2.initialize(seeds(3))
+    e2.run(3)
+    assert(n2.messages.count(_.contains("missing from the corpus")) == 1)
+
+    // stop command alerts too
+    val n3 = new CapturingNotifier
+    val e3 = new CrawlEngine(spark, pagesDF, tmp(), CrawlConfig(shufflePartitions = 4), n3)
+    e3.initialize(seeds(2))
+    e3.run(1)
+    e3.requestStop(); e3.run(2); e3.clearStop()
+    assert(n3.messages.exists(_.contains("stopped")))
+  }
+
   test("typed Dataset views: frontierTyped/seenTyped mirror the DataFrame state") {
     val eng = new CrawlEngine(spark, pagesDF, tmp(), CrawlConfig(shufflePartitions = 4))
     eng.initialize(seeds(4))

@@ -235,6 +235,62 @@ class PipelineSpec extends AnyFunSuite {
       .collect().map(_.getLong(0)).toSeq
     assert(page3 == (21L to 30L))
   }
+
+  // ---------- S15: HTTP POST side-output sink ----------
+
+  test("post sink: batched partition-local delivery, exact roundtrip") {
+    val chan = "t_" + java.util.UUID.randomUUID()
+    val src = spark.range(0, 500).select($"id", concat(lit("v"), $"id").as("v"))
+    val n = PostSink.postJson(src, () => new CapturePostClient(chan),
+      batchSize = 64, backoffMs = 0)
+    assert(n == 500)
+    val posted = CapturePostClient.drain(chan)
+    assert(posted.size == 500)
+    val back = spark.read.schema("id BIGINT, v STRING").json(posted.toDS)
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(back.size == 500 && back(7L) == "v7")
+  }
+
+  test("post sink: transient failures retried with backoff; payloads delivered once") {
+    val chan = "t_" + java.util.UUID.randomUUID()
+    val src = spark.range(0, 200).coalesce(2).select($"id")
+    // each partition's client fails its first 2 post calls, then succeeds
+    val n = PostSink.postJson(src, () => new FlakyPostClient(chan, failures = 2),
+      batchSize = 1000, maxRetries = 3, backoffMs = 0)
+    assert(n == 200, "retries must re-deliver failed payloads")
+    assert(CapturePostClient.drain(chan).size == 200, "no duplicate delivery on retry")
+  }
+
+  test("post sink: exhausted retries drop the payload (logged dead-letter, like the reference)") {
+    val chan = "t_" + java.util.UUID.randomUUID()
+    val src = spark.range(0, 50).coalesce(1).select($"id")
+    val n = PostSink.postJson(src, () => new FlakyPostClient(chan, failures = 10),
+      batchSize = 1000, maxRetries = 2, backoffMs = 0)
+    assert(n == 0 && CapturePostClient.drain(chan).isEmpty)
+  }
+
+  // ---------- X12: cookie parse ----------
+
+  test("cookie parse mirrors the reference's SUB-first / full-fallback decision") {
+    import graft.functions.ScalarOps._
+    val rows = Seq(
+      "SUB=abc; _T_WM=tw1; XSRF-TOKEN=x1; other=zz",
+      "SUB=", // present-but-empty SUB: reference still takes the core path
+      "k1 = v1 ; k2=w2; junk",
+      "").toDF("c")
+      .select(cookieMode($"c").as("mode"), cookieField($"c", "SUB").as("sub"),
+        cookieField($"c", "_T_WM").as("twm"), cookiePairCount($"c").as("n"))
+      .collect()
+    assert(rows(0).getString(0) == "sub" && rows(0).getString(1) == "abc"
+      && rows(0).getString(2) == "tw1" && rows(0).getInt(3) == 4)
+    assert(rows(1).getString(0) == "sub" && rows(1).getString(1) == "")
+    assert(rows(2).getString(0) == "full" && rows(2).isNullAt(1) && rows(2).getInt(3) == 2)
+    assert(rows(3).getString(0) == "empty" && rows(3).getInt(3) == 0)
+    // trimmed first-'='-wins pairs
+    val pairs = Seq("a = b=c; d=e").toDF("c")
+      .select(cookiePairs($"c").as("p")).head.getSeq[org.apache.spark.sql.Row](0)
+    assert(pairs.map(r => (r.getString(0), r.getString(1))) == Seq(("a", "b=c"), ("d", "e")))
+  }
 }
 
 /** IVF ANN: candidate quality vs the exact baseline. */
