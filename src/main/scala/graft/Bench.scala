@@ -262,6 +262,11 @@ object Bench {
       def lcTp(nx: Int) = lcAll.collect { case (`nx`, (f, sec)) => f / sec }.max
       val (lcTp1, lcTp4) = (lcTp(1), lcTp(4))
       val lcEff = lcTp4 / (4.0 * lcTp1)
+      // near-empty batches (tiny corpus): wall ≈ pure per-batch driver
+      // orchestration — the decomposition's fixed term, measured under BOTH
+      // layouts (it should be equal: it is the same driver either way)
+      val lcFix1 = lcCrawl(1, 60000L, bodyRepeat)._2
+      val lcFix4 = lcCrawl(4, 60000L, bodyRepeat)._2
       // ---- shared-disk sink bandwidth: 8 vs 32 cores — names the flat
       // write term of the e2e crawl on this one-disk box
       val (sink8, sink32) = (sinkProbe(8), sinkProbe(32))
@@ -280,6 +285,7 @@ object Bench {
         s""""lc_crawl_pages":$lcPages,""" +
         s""""lc_crawl_tp_1x8":${r1(lcTp1)},"lc_crawl_tp_4x8":${r1(lcTp4)},""" +
         s""""crawl_localcluster_efficiency":${r3(lcEff)},""" +
+        s""""lc_fixed_sec_1x8":${r1(lcFix1)},"lc_fixed_sec_4x8":${r1(lcFix4)},""" +
         s""""sink_mbps_8":${r1(sink8)},"sink_mbps_32":${r1(sink32)},""" +
         s""""sink_scaling":${r3(sinkScaling)}}"""
       scalingLine = s""","scaling":{"sec_8":${r1(r8.sec)},"tp_8":${r1(tp8)},""" +
