@@ -133,6 +133,29 @@ class CrawlSpec extends AnyFunSuite {
     assert(misses2 == 0, "recent-tier delta blob not probed")
   }
 
+  test("bloom_merge folds snapshot blobs + delta keys executor-side with no false negatives") {
+    // snapshot tier: keys 0..2000; delta keys 5000..5400; fold = blob rows
+    // (shard, blob, null) ∪ key rows (shard, null, key) grouped per shard —
+    // exactly the compaction fold's shape
+    val cap = 1000L
+    val hashes = spark.range(0, 2000).select(xxhash64($"id").as("h"))
+    val snap = hashes.groupBy(pmod($"h", lit(4L)).as("shard"))
+      .agg(BloomSeen.bloom_build($"h", cap, 0.01).as("blob"))
+      .select($"shard", $"blob", lit(null).cast("long").as("h"))
+    val extra = spark.range(5000, 5400).select(xxhash64($"id").as("h"))
+    val deltas = extra.select(pmod($"h", lit(4L)).as("shard"),
+      lit(null).cast("binary").as("blob"), $"h")
+    val folded = snap.unionByName(deltas).groupBy("shard")
+      .agg(BloomSeen.bloom_merge($"blob", $"h", cap, 0.01).as("blob"))
+      .collect().sortBy(_.getLong(0)).map(_.getAs[Array[Byte]]("blob"))
+    assert(folded.length == 4)
+    val bc2 = spark.sparkContext.broadcast(folded)
+    val all = hashes.unionByName(extra)
+    val misses = all.withColumn("c", BloomSeen.bloom_probe(bc2, Nil, $"h"))
+      .filter(!$"c").count()
+    assert(misses == 0, "folded filter dropped a key from either tier")
+  }
+
   test("resume: kill after k batches == uninterrupted run (MERGE checkpoint)") {
     val dirA = tmp(); val dirB = tmp()
     val cfg = CrawlConfig(defaultHostBudget = 3, shufflePartitions = 4)
