@@ -74,12 +74,9 @@ object Bench {
     val dt = (System.nanoTime() - t0) / 1e9
     // bench state dirs hold corpus-sized scheduled/parsed logs (~GBs) —
     // repeated bench runs without cleanup fill the disk
-    try {
-      val st = java.nio.file.Files.walk(java.nio.file.Paths.get(stateDir))
-      try st.sorted(java.util.Comparator.reverseOrder[java.nio.file.Path]())
-        .forEach(f => java.nio.file.Files.deleteIfExists(f))
-      finally st.close()
-    } catch { case _: Throwable => }
+    try graft.crawl.StateStore.deleteRecursively(java.nio.file.Paths.get(stateDir))
+    catch { case e: Throwable =>
+      System.err.println(s"[bench] state-dir cleanup failed: ${e.getMessage}") }
     (ms.map(_("fetched")).sum, dt)
   }
 
@@ -172,10 +169,20 @@ object Bench {
   }
 
   /** Shared-disk parquet sink bandwidth at `cpus` cores — names the
-    * non-scaling write term of the e2e crawl on this one-disk box. */
+    * non-scaling write term of the e2e crawl on this one-disk box. Fails
+    * loudly (with one retry) rather than letting a sentinel flow into the
+    * recorded sink_scaling ratio. */
   private def sinkProbe(cpus: Int): Double = {
-    val kv = childCollect(childStart(cpus, 0L, 0, "sink", 16), s"sink-$cpus")
-    kv.get("PROBE4").flatMap(_.get("mbps")).map(_.toDouble).getOrElse(-1)
+    def once(): Double = {
+      val kv = childCollect(childStart(cpus, 0L, 0, "sink", 16), s"sink-$cpus")
+      val v = kv.get("PROBE4").flatMap(_.get("mbps")).map(_.toDouble)
+      require(v.isDefined, s"sink child $cpus produced no PROBE4 line")
+      v.get
+    }
+    try once() catch { case e: Throwable =>
+      System.err.println(s"[bench] sink-$cpus failed once (${e.getMessage}); retrying")
+      once()
+    }
   }
 
   /** Multi-process control: `procs` CONCURRENT 8-core JVMs each running the

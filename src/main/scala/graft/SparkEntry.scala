@@ -555,8 +555,9 @@ object SparkEntry {
     // batches are exactly BFS layers (the budget-bound path stays covered by
     // CrawlSpec/WindowAndGuardSpec goldens).
     "q50_crawl_batch" -> ((s, dir) => {
-      val eng = crawlOracleEngine(s, dir)
+      val (eng, corpus) = crawlOracleEngine(s, dir)
       eng.run(3)
+      corpus.unpersist() // results read from the state store, not the corpus
       eng.fetched().get.select(col("url_canon"), col("host"), col("seed_id"),
         col("depth").cast("long").as("depth"), col("batch_id"),
         col("fetch_ordinal").cast("long").as("fetch_ordinal"),
@@ -564,8 +565,9 @@ object SparkEntry {
     }),
 
     "q51_crawl_frontier" -> ((s, dir) => {
-      val eng = crawlOracleEngine(s, dir)
+      val (eng, corpus) = crawlOracleEngine(s, dir)
       eng.run(2)
+      corpus.unpersist()
       eng.frontier().select(col("url_canon"), col("host"),
         col("depth").cast("long").as("depth"), col("seed_id"))
     }),
@@ -668,18 +670,22 @@ object SparkEntry {
       .withColumn("text", gf.extract_text_bin(col("html")))
   }
 
-  private def crawlOracleEngine(s: SparkSession, dir: String): CrawlEngine = {
+  private def crawlOracleEngine(s: SparkSession, dir: String): (CrawlEngine, DataFrame) = {
     val st = java.nio.file.Files.createTempDirectory("graft_crawl_oracle").toString
     // persist: the corpus is derived (window + html render + extract_text);
-    // without it every per-batch corpus scan re-runs the derivation
-    val eng = new CrawlEngine(s, crawlOracleCorpus(s, dir).persist(), st,
+    // without it every per-batch corpus scan re-runs the derivation. The
+    // caller unpersists after run() — query results come from the state
+    // store, so the cache must not outlive the crawl (it would pin executor
+    // storage for the rest of the session).
+    val corpus = crawlOracleCorpus(s, dir).persist()
+    val eng = new CrawlEngine(s, corpus, st,
       CrawlConfig(defaultHostBudget = 1000000, maxDepth = 64, shufflePartitions = 8,
         detailedMetrics = false))
     val since = new java.sql.Timestamp((OracleBaseSec - 12600L) * 1000)
     val end = new java.sql.Timestamp((OracleBaseSec + 3600L) * 1000)
     eng.initialize((0L until 3L).map(u => Seed(s"seed$u",
       s"https://h$u.example.test/u/$u/p/0", since, end)))
-    eng
+    (eng, corpus)
   }
 
   /** q26's hyperplane constants inlined for the oracle — generated from the

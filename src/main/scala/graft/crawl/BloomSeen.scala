@@ -205,11 +205,17 @@ object BloomProbeBroadcast {
     * evicted when a newer one arrives (at most a few live at once). */
   private val cache = new ConcurrentHashMap[Long, Array[BloomFilter]]()
 
-  def cachedFilters(bc: Broadcast[Array[Array[Byte]]]): Array[BloomFilter] =
-    cache.computeIfAbsent(bc.id, { _ =>
-      if (cache.size > 4) cache.clear() // a fresh snapshot supersedes old ids
-      bc.value.map(b => BloomFilter.readFrom(new ByteArrayInputStream(b)))
-    })
+  def cachedFilters(bc: Broadcast[Array[Array[Byte]]]): Array[BloomFilter] = {
+    val hit = cache.get(bc.id)
+    if (hit != null) return hit
+    // evict BEFORE computeIfAbsent — a mapping function must not modify the
+    // map (CHM contract: clear() inside it can corrupt the bin or deadlock);
+    // a fresh snapshot supersedes old ids, so dropping them is always safe
+    // (worst case: a concurrent entry is re-deserialized on next use)
+    if (cache.size > 4) cache.clear()
+    cache.computeIfAbsent(bc.id,
+      _ => bc.value.map(b => BloomFilter.readFrom(new ByteArrayInputStream(b))))
+  }
 }
 
 object BloomSeen {

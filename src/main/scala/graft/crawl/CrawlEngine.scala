@@ -133,10 +133,16 @@ class CrawlEngine(
 
   // literal IN-sets must reach parquet as OR-chains: above the default
   // threshold (10) Spark pushes only [min, max] — useless on random 64-bit
-  // hashes. The keyed probes cap their sets at probePushdownMaxKeys.
-  if (cfg.probePushdownMaxKeys > 0)
-    spark.conf.set("spark.sql.parquet.pushdown.inFilterThreshold",
-      math.max(cfg.probePushdownMaxKeys, 10).toString)
+  // hashes. The keyed probes cap their sets at probePushdownMaxKeys. Only
+  // ever RAISE the session threshold (monotone max): a larger threshold
+  // never hurts a smaller IN-set, whereas lowering it would silently degrade
+  // a coexisting engine's keyed probes to full range scans.
+  if (cfg.probePushdownMaxKeys > 0) {
+    val key = "spark.sql.parquet.pushdown.inFilterThreshold"
+    val current = scala.util.Try(spark.conf.get(key).toInt).getOrElse(10)
+    if (cfg.probePushdownMaxKeys > current)
+      spark.conf.set(key, cfg.probePushdownMaxKeys.toString)
+  }
 
   /** pages keyed by canonical url — at cluster scale this is the Iceberg
     * table BUCKETED by the join key so the per-batch fetch join never

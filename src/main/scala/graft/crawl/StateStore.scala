@@ -303,12 +303,7 @@ class StateStore(spark: SparkSession, root: String) {
     write(table, v, graft.operators.QueryPack.latestWins(unioned, keyCols, versionOrder))
   }
 
-  private def deleteRecursively(p: Path): Unit = if (Files.exists(p)) {
-    val st = Files.walk(p)
-    try st.sorted(java.util.Comparator.reverseOrder[Path]())
-      .forEach(f => Files.deleteIfExists(f))
-    finally st.close()
-  }
+  private def deleteRecursively(p: Path): Unit = StateStore.deleteRecursively(p)
 
   /** Iceberg `expire_snapshots` analog for a delta table: delete everything
     * superseded by the newest base snapshot at or before `v` (pass the
@@ -344,5 +339,16 @@ class StateStore(spark: SparkSession, root: String) {
       .map(b => dir.resolve(s"batch=$b").toString)
     if (found.isEmpty) None
     else Some(spark.read.option("basePath", dir.toString).parquet(found: _*))
+  }
+}
+
+object StateStore {
+  /** walk-reverse-delete of a directory tree — the one shared implementation
+    * (state GC, bench state-dir cleanup, probe scratch dirs). */
+  def deleteRecursively(p: Path): Unit = if (Files.exists(p)) {
+    val st = Files.walk(p)
+    try st.sorted(java.util.Comparator.reverseOrder[Path]())
+      .forEach(f => Files.deleteIfExists(f))
+    finally st.close()
   }
 }

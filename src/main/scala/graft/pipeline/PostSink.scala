@@ -80,9 +80,12 @@ object PostSink {
             case _: Exception if attempt < maxRetries =>
               attempt += 1
               if (backoffMs > 0) Thread.sleep(backoffMs * attempt)
-            case _: Exception =>
-              done = true // exhausted: dropped, uncounted (the reference
-                          // logs and moves on, weibo.py:2021-2023)
+            case e: Exception =>
+              // exhausted: dropped, uncounted — but never silently (the
+              // reference logs and moves on, weibo.py:2021-2023)
+              System.err.println(s"[post-sink] dropping payload of " +
+                s"${payload.size} rows after $maxRetries retries: ${e.getMessage}")
+              done = true
           }
         }
       }

@@ -73,10 +73,7 @@ object ScalingProbe {
       val bytes = java.nio.file.Files.walk(java.nio.file.Paths.get(out))
         .filter(p => p.toString.endsWith(".parquet")).mapToLong(p => p.toFile.length()).sum()
       println(f"PROBE4 cpus=$cpus sec=$dt%.2f mbps=${bytes / dt / 1e6}%.0f rows=$rows")
-      val st = java.nio.file.Files.walk(java.nio.file.Paths.get(out))
-      try st.sorted(java.util.Comparator.reverseOrder[java.nio.file.Path]())
-        .forEach(f => java.nio.file.Files.deleteIfExists(f))
-      finally st.close()
+      graft.crawl.StateStore.deleteRecursively(java.nio.file.Paths.get(out))
       s.stop(); return
     }
 
