@@ -209,10 +209,15 @@ object BloomProbeBroadcast {
     val hit = cache.get(bc.id)
     if (hit != null) return hit
     // evict BEFORE computeIfAbsent — a mapping function must not modify the
-    // map (CHM contract: clear() inside it can corrupt the bin or deadlock);
-    // a fresh snapshot supersedes old ids, so dropping them is always safe
-    // (worst case: a concurrent entry is re-deserialized on next use)
-    if (cache.size > 4) cache.clear()
+    // map (CHM contract: clear() inside it can corrupt the bin or deadlock).
+    // Only STALE ids are dropped: a blanket clear() would let a thundering
+    // herd of task threads at snapshot rotation each wipe the entry another
+    // thread just deserialized, re-paying the full O(blob) decode per thread
+    // instead of once per executor.
+    if (cache.size > 4)
+      cache.keySet.removeIf(new java.util.function.Predicate[Long] {
+        override def test(k: Long): Boolean = k != bc.id
+      })
     cache.computeIfAbsent(bc.id,
       _ => bc.value.map(b => BloomFilter.readFrom(new ByteArrayInputStream(b))))
   }

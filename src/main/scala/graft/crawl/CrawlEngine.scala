@@ -137,7 +137,9 @@ class CrawlEngine(
   // ever RAISE the session threshold (monotone max): a larger threshold
   // never hurts a smaller IN-set, whereas lowering it would silently degrade
   // a coexisting engine's keyed probes to full range scans.
-  if (cfg.probePushdownMaxKeys > 0) {
+  if (cfg.probePushdownMaxKeys > 0) CrawlEngine.confLock.synchronized {
+    // synchronized: the check-then-set must be atomic or two concurrently
+    // constructed engines could leave the LOWER threshold in place
     val key = "spark.sql.parquet.pushdown.inFilterThreshold"
     val current = scala.util.Try(spark.conf.get(key).toInt).getOrElse(10)
     if (cfg.probePushdownMaxKeys > current)
@@ -1003,6 +1005,8 @@ class CrawlEngine(
     graftbridge.fromInternalRdd(spark, out, schema)
   }
 
+  // (companion lock lives in object CrawlEngine at the end of this file)
+
   /** Run up to maxBatches (stop early on empty frontier or STOP command).
     * Resumes from the committed pointer — a killed run restarts at the exact
     * frontier state (north rule). */
@@ -1026,4 +1030,10 @@ class CrawlEngine(
     }
     out.result()
   }
+}
+
+object CrawlEngine {
+  /** serializes the session-conf monotone-raise across concurrently
+    * constructed engines (check-then-set must be atomic). */
+  private[crawl] val confLock = new Object
 }

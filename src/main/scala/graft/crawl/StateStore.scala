@@ -303,8 +303,6 @@ class StateStore(spark: SparkSession, root: String) {
     write(table, v, graft.operators.QueryPack.latestWins(unioned, keyCols, versionOrder))
   }
 
-  private def deleteRecursively(p: Path): Unit = StateStore.deleteRecursively(p)
-
   /** Iceberg `expire_snapshots` analog for a delta table: delete everything
     * superseded by the newest base snapshot at or before `v` (pass the
     * committed batch). Keeps that base, deltas after it, and append-only
@@ -314,11 +312,11 @@ class StateStore(spark: SparkSession, root: String) {
   def expireBefore(table: String, v: Long): Unit =
     latestBase(table, v).foreach { keep =>
       listIds(rootPath.resolve(table).resolve("base"), "v=", Long.MinValue, keep - 1)
-        .foreach(b => deleteRecursively(baseDir(table, b)))
+        .foreach(b => StateStore.deleteRecursively(baseDir(table, b)))
       listIds(rootPath.resolve(table).resolve("delta_add"), "batch=", Long.MinValue, keep)
-        .foreach(b => deleteRecursively(addDir(table, b)))
+        .foreach(b => StateStore.deleteRecursively(addDir(table, b)))
       listIds(rootPath.resolve(table).resolve("delta_del"), "batch=", Long.MinValue, keep)
-        .foreach(b => deleteRecursively(delDir(table, b)))
+        .foreach(b => StateStore.deleteRecursively(delDir(table, b)))
     }
 
   /** expire for snapshot tables (seeds/bloom/summary): keep only the latest
@@ -326,7 +324,7 @@ class StateStore(spark: SparkSession, root: String) {
   def expireSnapshotsBefore(table: String, v: Long): Unit =
     latestVersion(table, v).foreach { keep =>
       listIds(rootPath.resolve(table), "v=", Long.MinValue, keep - 1)
-        .foreach(b => deleteRecursively(rootPath.resolve(table).resolve(s"v=$b")))
+        .foreach(b => StateStore.deleteRecursively(rootPath.resolve(table).resolve(s"v=$b")))
     }
 
   /** Read log batches in (afterBatch, upToBatch]. Directory handles closed
