@@ -201,25 +201,30 @@ case class BloomProbeBroadcast(
 object BloomProbeBroadcast {
   /** Deserialize a broadcast's blobs once per executor (not per task): the
     * broadcast manager caches the BYTES per executor; this caches the
-    * deserialized filters keyed by broadcast id. Bounded: old snapshots are
-    * evicted when a newer one arrives (at most a few live at once). */
-  private val cache = new ConcurrentHashMap[Long, Array[BloomFilter]]()
+    * deserialized filters keyed by broadcast id. Bounded LRU (ADVICE r3: the
+    * previous evict-everything-but-mine policy let several live engines in
+    * one JVM — or in-flight plans on an old snapshot — evict each other's
+    * entries and re-pay the full O(blob) decode per query): least-recently
+    * probed snapshots fall out once more than [[MaxCached]] are live. */
+  private val MaxCached = 8
+  private val cache =
+    new java.util.LinkedHashMap[Long, Array[BloomFilter]](16, 0.75f, /*accessOrder=*/ true) {
+      override def removeEldestEntry(
+          e: java.util.Map.Entry[Long, Array[BloomFilter]]): Boolean = size() > MaxCached
+    }
 
   def cachedFilters(bc: Broadcast[Array[Array[Byte]]]): Array[BloomFilter] = {
-    val hit = cache.get(bc.id)
-    if (hit != null) return hit
-    // evict BEFORE computeIfAbsent — a mapping function must not modify the
-    // map (CHM contract: clear() inside it can corrupt the bin or deadlock).
-    // Only STALE ids are dropped: a blanket clear() would let a thundering
-    // herd of task threads at snapshot rotation each wipe the entry another
-    // thread just deserialized, re-paying the full O(blob) decode per thread
-    // instead of once per executor.
-    if (cache.size > 4)
-      cache.keySet.removeIf(new java.util.function.Predicate[Long] {
-        override def test(k: Long): Boolean = k != bc.id
-      })
-    cache.computeIfAbsent(bc.id,
-      _ => bc.value.map(b => BloomFilter.readFrom(new ByteArrayInputStream(b))))
+    cache.synchronized {
+      val hit = cache.get(bc.id) // get() refreshes LRU order
+      if (hit != null) return hit
+    }
+    // decode OUTSIDE the lock: a multi-hundred-MB snapshot decode must not
+    // serialize every other engine's first probe behind it. A racing thread
+    // may decode the same id twice — rare (one per executor per snapshot
+    // rotation) and harmless (last put wins, both arrays are equivalent).
+    val decoded = bc.value.map(b => BloomFilter.readFrom(new ByteArrayInputStream(b)))
+    cache.synchronized { cache.put(bc.id, decoded) }
+    decoded
   }
 }
 

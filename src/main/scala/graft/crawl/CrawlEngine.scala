@@ -57,6 +57,10 @@ case class Seed(seed_id: String, root_url: String,
  *                           into the range-clustered state bases; larger
  *                           probe sets fall back to the broadcast-semi full
  *                           scan (0 disables pushdown)
+ * @param bloomRecentCap     max per-batch bloom delta blobs held before an
+ *                           out-of-cadence fold into a fresh snapshot —
+ *                           bounds probe cost / driver memory / task-closure
+ *                           size when compaction is off or its cadence long
  */
 case class CrawlConfig(
     defaultHostBudget: Int = 5,
@@ -76,7 +80,8 @@ case class CrawlConfig(
     broadcastScheduled: Boolean = false,
     compactEvery: Int = 8,
     corpusUnique: Boolean = false,
-    probePushdownMaxKeys: Int = 4096)
+    probePushdownMaxKeys: Int = 4096,
+    bloomRecentCap: Int = 16)
 
 /**
  * The URL-frontier + fetch-scheduler engine (BASELINE.json.north_rule).
@@ -133,18 +138,12 @@ class CrawlEngine(
 
   // literal IN-sets must reach parquet as OR-chains: above the default
   // threshold (10) Spark pushes only [min, max] — useless on random 64-bit
-  // hashes. The keyed probes cap their sets at probePushdownMaxKeys. Only
-  // ever RAISE the session threshold (monotone max): a larger threshold
-  // never hurts a smaller IN-set, whereas lowering it would silently degrade
-  // a coexisting engine's keyed probes to full range scans.
-  if (cfg.probePushdownMaxKeys > 0) CrawlEngine.confLock.synchronized {
-    // synchronized: the check-then-set must be atomic or two concurrently
-    // constructed engines could leave the LOWER threshold in place
-    val key = "spark.sql.parquet.pushdown.inFilterThreshold"
-    val current = scala.util.Try(spark.conf.get(key).toInt).getOrElse(10)
-    if (cfg.probePushdownMaxKeys > current)
-      spark.conf.set(key, cfg.probePushdownMaxKeys.toString)
-  }
+  // hashes. The keyed probes cap their sets at probePushdownMaxKeys. The
+  // raise is SCOPED to the engine's own batch execution (ADVICE r3): it is
+  // applied on entry to runBatch and restored on exit, so unrelated queries
+  // in the same session keep the default threshold between batches instead
+  // of inheriting a permanent session-wide OR-chain pushdown for every
+  // >10-element IN literal. See [[CrawlEngine.withProbeThreshold]].
 
   /** pages keyed by canonical url — at cluster scale this is the Iceberg
     * table BUCKETED by the join key so the per-batch fetch join never
@@ -211,10 +210,16 @@ class CrawlEngine(
   }
 
   /** Preload an arbitrary frontier (bench path: the 10^10-URL-frontier model
-    * is "frontier already full", not "grown from 8 seeds"). */
+    * is "frontier already full", not "grown from 8 seeds"). The engine-wide
+    * invariant `url_hash == xxhash64(url_canon)` is RECOMPUTED here rather
+    * than trusted (ADVICE r3): the fetch stage joins the corpus on that hash,
+    * so a caller-built row with a stale hash would silently dead-letter as
+    * found=false even when the page exists. */
   def initializeWithFrontier(frontier: DataFrame): Unit = {
     require(store.committedBatch < 0, s"state at $stateDir already initialized")
-    store.writeBase("frontier", -1L, frontier, clusterPartitions = cfg.shufflePartitions)
+    store.writeBase("frontier", -1L,
+      frontier.withColumn("url_hash", xxhash64($"url_canon")),
+      clusterPartitions = cfg.shufflePartitions)
     store.writeBase("seen", -1L, emptySeen)
     // version -1 is readable but the pointer still says -1 ⇒ batch 0 is next
     store.commit(-1L)
@@ -279,6 +284,8 @@ class CrawlEngine(
   /** test hook: rows the driver collected for bloom maintenance — at most S
     * blob rows per job, NEVER the key set (asserted by IncrementalStateSpec). */
   private[graft] var bloomBlobRowsCollected: Long = 0L
+  /** test hook: live recent-tier entry count (bounded by cfg.bloomRecentCap). */
+  private[graft] def bloomRecentTiers: Int = bloomRecent.size
 
   private def setSnapshot(blobs: Array[Array[Byte]], v: Long): Unit = {
     val old = bloomBc
@@ -334,7 +341,20 @@ class CrawlEngine(
       buildBlobsFresh(committed, seenCount); return
     }
     val v = snapV.get
-    val rows = store.read("bloom", v, sys.error("bloom version listed but unreadable")).collect()
+    val snapDf = store.read("bloom", v, sys.error("bloom version listed but unreadable"))
+    // parameter guard (ADVICE r3): a snapshot persisted under different
+    // fpp/shard settings is not fold- or probe-compatible with this config
+    // (bloom_merge would throw IncompatibleMergeException mid-batch; a shard
+    // count change would leave null blob slots). Route the mismatch — and
+    // any pre-r4 snapshot that didn't record its parameters — through the
+    // fresh-rebuild path.
+    if (!snapDf.columns.contains("fpp") || {
+      val p = snapDf.select("fpp", "shards").head()
+      p.getDouble(0) != cfg.bloomFpp || p.getInt(1) != cfg.bloomShards
+    }) {
+      buildBlobsFresh(committed, seenCount); return
+    }
+    val rows = snapDf.collect()
     bloomBlobRowsCollected += rows.length
     blobCapacity = rows.head.getAs[Long]("capacity")
     val blobs = new Array[Array[Byte]](cfg.bloomShards)
@@ -351,8 +371,14 @@ class CrawlEngine(
   /** Persist the current snapshot tier (S rows). Only called right after
     * setSnapshot, when the recent tier is empty. */
   private def persistBlobs(v: Long): Unit = if (bloomBc != null) {
-    val rows = bloomBc.value.zipWithIndex.map { case (b, i) => (i, b, blobCapacity) }
-    store.write("bloom", v, rows.toSeq.toDF("shard", "blob", "capacity").coalesce(1))
+    // fpp + shard count ride the snapshot (ADVICE r3): a resume under
+    // changed bloom parameters must detect the incompatibility and rebuild
+    // instead of folding mismatched filters.
+    val rows = bloomBc.value.zipWithIndex.map { case (b, i) =>
+      (i, b, blobCapacity, cfg.bloomFpp, cfg.bloomShards)
+    }
+    store.write("bloom", v,
+      rows.toSeq.toDF("shard", "blob", "capacity", "fpp", "shards").coalesce(1))
     bloomSnapshotV = v
   }
 
@@ -409,7 +435,10 @@ class CrawlEngine(
   }
 
   /** Run one micro-batch; returns the ledger metrics row as a Map. */
-  def runBatch(): Map[String, Long] = {
+  def runBatch(): Map[String, Long] =
+    CrawlEngine.withProbeThreshold(spark, cfg.probePushdownMaxKeys)(runBatchImpl())
+
+  private def runBatchImpl(): Map[String, Long] = {
     val committed = store.committedBatch
     val batchId = committed + 1
 
@@ -796,6 +825,14 @@ class CrawlEngine(
       store.compact("frontier", batchId, emptyFrontier, cfg.shufflePartitions)
       store.compact("seen", batchId, emptySeen, cfg.shufflePartitions)
       refreshBloomAtCompaction(batchId, newSeenSize)
+    } else if (bloomRecent.size >= cfg.bloomRecentCap) {
+      // recent-tier cap (ADVICE r3): with compaction off (compactEvery=0 is
+      // explicitly supported) the per-batch delta blobs would otherwise
+      // accumulate forever — per-row probe cost, driver memory, and the task
+      // closure all growing linearly. Fold them into a fresh snapshot once
+      // the tier exceeds a small cap, independent of the compaction cadence
+      // (the fold reads this batch's already-written seen deltas).
+      timed("bloom_fold")(refreshBloomAtCompaction(batchId, newSeenSize))
     }
 
     val candidateCount = if (cfg.detailedMetrics) candidates.count() else -1L
@@ -1033,7 +1070,36 @@ class CrawlEngine(
 }
 
 object CrawlEngine {
-  /** serializes the session-conf monotone-raise across concurrently
-    * constructed engines (check-then-set must be atomic). */
-  private[crawl] val confLock = new Object
+  /** serializes the scoped conf raise/restore across concurrently running
+    * engines on the same session (check-then-set must be atomic). */
+  private val confLock = new Object
+  /** session → (nesting depth, saved pre-raise value). */
+  private val elevated = scala.collection.mutable.Map[SparkSession, (Int, String)]()
+
+  /**
+   * Raise `spark.sql.parquet.pushdown.inFilterThreshold` to at least
+   * `threshold` for the duration of `f`, then restore (ADVICE r3: a
+   * constructor-time permanent raise leaked OR-chain pushdown into unrelated
+   * queries of the shared session). Re-entrant and multi-engine safe via a
+   * per-session depth count: the saved value is restored only when the last
+   * concurrent batch exits. Spark reads this conf at physical-planning time,
+   * which happens inside the batch's own actions (including the concurrent
+   * delta-commit futures — session conf is shared across threads), so the
+   * scope covers every keyed probe the batch plans.
+   */
+  private[graft] def withProbeThreshold[T](spark: SparkSession, threshold: Int)(f: => T): T = {
+    if (threshold <= 0) return f
+    val key = "spark.sql.parquet.pushdown.inFilterThreshold"
+    confLock.synchronized {
+      val (depth, saved) = elevated.getOrElse(spark, (0, spark.conf.get(key, "10")))
+      val current = scala.util.Try(spark.conf.get(key, "10").toInt).getOrElse(10)
+      if (threshold > current) spark.conf.set(key, threshold.toString)
+      elevated(spark) = (depth + 1, saved)
+    }
+    try f finally confLock.synchronized {
+      val (depth, saved) = elevated(spark)
+      if (depth == 1) { spark.conf.set(key, saved); elevated.remove(spark) }
+      else elevated(spark) = (depth - 1, saved)
+    }
+  }
 }

@@ -507,6 +507,80 @@ class IncrementalStateSpec extends org.scalatest.funsuite.AnyFunSuite {
     assert(eng.fetched().get.groupBy("url_hash").count().filter($"count" > 1).count() == 0)
   }
 
+  test("probe-pushdown conf raise is scoped to the batch, restored on exit (ADVICE r3)") {
+    val key = "spark.sql.parquet.pushdown.inFilterThreshold"
+    val before = spark.conf.get(key, "10")
+    val eng = new CrawlEngine(spark, pagesDF, tmp(),
+      CrawlConfig(defaultHostBudget = 3, shufflePartitions = 4, probePushdownMaxKeys = 4096))
+    eng.initialize(seeds(4))
+    eng.runBatch()
+    assert(spark.conf.get(key, "10") == before,
+      "inFilterThreshold leaked past runBatch — unrelated session queries would " +
+        "inherit OR-chain pushdown for every >10-element IN literal")
+    // and nesting: a raise inside a raise restores to the outer saved value
+    CrawlEngine.withProbeThreshold(spark, 100) {
+      assert(spark.conf.get(key).toInt >= 100)
+      CrawlEngine.withProbeThreshold(spark, 200)(assert(spark.conf.get(key).toInt >= 200))
+      assert(spark.conf.get(key).toInt >= 100)
+    }
+    assert(spark.conf.get(key, "10") == before)
+  }
+
+  test("initializeWithFrontier recomputes url_hash: a stale caller hash cannot dead-letter fetches") {
+    val eng0 = new CrawlEngine(spark, pagesDF, tmp(), CrawlConfig(shufflePartitions = 4))
+    val good = eng0.frontierFromSeeds(seeds(4))
+    val stale = good.withColumn("url_hash", lit(0L)) // caller-built, wrong hash
+    val dir = tmp()
+    val eng = new CrawlEngine(spark, pagesDF, dir,
+      CrawlConfig(defaultHostBudget = 4, shufflePartitions = 4))
+    eng.initializeWithFrontier(stale)
+    val m = eng.runBatch()
+    assert(m("not_found") == 0 && m("fetched") > 0,
+      "stale url_hash rows were dead-lettered instead of fetched")
+  }
+
+  test("bloom snapshot records fpp/shards: resume under changed params rebuilds instead of mis-folding") {
+    val dir = tmp()
+    val cfg = CrawlConfig(defaultHostBudget = 4, shufflePartitions = 4,
+      bloomMinSeen = 1, compactEvery = 2)
+    val e1 = new CrawlEngine(spark, pagesDF, dir, cfg)
+    e1.initialize(seeds(6))
+    e1.run(2)
+    assert(e1.bloomFullBuilds == 1)
+    // resume with a DIFFERENT fpp: the persisted snapshot is incompatible
+    // (fold would throw IncompatibleMergeException) — must rebuild fresh
+    val e2 = new CrawlEngine(spark, pagesDF, dir, cfg.copy(bloomFpp = 0.001))
+    e2.run(2)
+    assert(e2.bloomFullBuilds == 1,
+      "changed bloomFpp on resume must trigger exactly one fresh rebuild")
+    assert(e2.fetched().get.groupBy("url_hash").count().filter($"count" > 1).count() == 0)
+    // and a changed shard count likewise
+    val e3 = new CrawlEngine(spark, pagesDF, dir, cfg.copy(bloomShards = 4))
+    val ran = e3.run(1)
+    assert(ran.nonEmpty, "corpus exhausted before the shard-mismatch resume could run")
+    assert(e3.bloomFullBuilds == 1,
+      "changed bloomShards on resume must trigger exactly one fresh rebuild")
+  }
+
+  test("recent bloom tiers fold at the cap even with compaction off (ADVICE r3)") {
+    val dir = tmp()
+    val eng = new CrawlEngine(spark, pagesDF, dir,
+      CrawlConfig(defaultHostBudget = 3, shufflePartitions = 4,
+        bloomMinSeen = 1, compactEvery = 0, bloomRecentCap = 2))
+    eng.initialize(seeds(6))
+    val ms = eng.run(6)
+    assert(ms.length == 6)
+    assert(eng.bloomRecentTiers < 2 + 1,
+      s"recent tier grew to ${eng.bloomRecentTiers} entries — cap fold never ran")
+    // the fold persisted a newer snapshot (not just the initial build's)
+    val snaps = new java.io.File(s"$dir/bloom").list().toSeq.sorted
+    assert(snaps.length > 1, s"no folded snapshot persisted: $snaps")
+    // correctness unchanged under cap folds
+    assert(eng.fetched().get.groupBy("url_hash").count().filter($"count" > 1).count() == 0)
+    assert(eng.seen().count() ==
+      eng.ledger().get.orderBy($"batch_id".desc).select("seen_size").head.getLong(0))
+  }
+
   test("bloom lifecycle: one full build, then incremental; resume loads snapshot + replays deltas") {
     val dir = tmp()
     val cfg = CrawlConfig(defaultHostBudget = 4, shufflePartitions = 4,
