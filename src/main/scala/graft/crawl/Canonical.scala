@@ -15,7 +15,16 @@ package graft.crawl
  *  3. default ports removed (:80 http, :443 https);
  *  4. empty path → "/";
  *  5. trailing "?" (empty query) stripped;
- *  6. path dot-segments resolved ("/a/./b/../c" → "/a/c").
+ *  6. path dot-segments resolved ("/a/./b/../c" → "/a/c");
+ *  7. percent-encoding normalized per RFC 3986 §6.2.2 in path and query
+ *     (VERDICT r3): unreserved characters decoded ("%7Ea" ≡ "~a"), remaining
+ *     triplets uppercased ("%7ea" → "%7E…"), reserved encodings KEPT
+ *     ("%2Fa" ≢ "/a" — a path-separator encoding is semantically distinct).
+ *     Decoding runs BEFORE dot-segment resolution (§6.2.2.3 ordering: "%2E"
+ *     is an encoded dot-segment). Malformed triplets ("%G1", trailing "%a")
+ *     pass through untouched. The authority is left out of scope: hosts are
+ *     IDN/punycode territory, not percent-encoding territory, and a wrong
+ *     host rewrite would corrupt the politeness key.
  *
  * Query-parameter reordering is deliberately NOT done: parameter order can be
  * semantically meaningful and the reference never reorders its own cursors.
@@ -39,11 +48,48 @@ object Canonical {
     var tail = stripFragment(rest.substring(authorityEnd))
     if (tail.isEmpty) tail = "/"
     else if (tail.startsWith("?")) tail = "/" + tail
-    // split path vs query; resolve dot-segments in path only
+    // split path vs query; resolve dot-segments in path only. Percent
+    // normalization runs BEFORE dot resolution (RFC 3986 §6.2.2.3): an
+    // encoded "%2E" dot-segment must be decoded first to be resolved.
     val qIdx = tail.indexOf('?')
     val (path, query) = if (qIdx < 0) (tail, "") else (tail.substring(0, qIdx), tail.substring(qIdx))
     val cleanQuery = if (query == "?") "" else query
-    s"$scheme://$authority${resolveDots(path)}$cleanQuery"
+    s"$scheme://$authority${resolveDots(normalizePercent(path))}${normalizePercent(cleanQuery)}"
+  }
+
+  private def isUnreserved(c: Int): Boolean =
+    (c >= 'A' && c <= 'Z') || (c >= 'a' && c <= 'z') || (c >= '0' && c <= '9') ||
+      c == '-' || c == '.' || c == '_' || c == '~'
+
+  private def hexVal(c: Char): Int =
+    if (c >= '0' && c <= '9') c - '0'
+    else if (c >= 'a' && c <= 'f') c - 'a' + 10
+    else if (c >= 'A' && c <= 'F') c - 'A' + 10
+    else -1
+
+  /** RFC 3986 §6.2.2.1-2: decode percent-encoded UNRESERVED characters,
+    * uppercase the hex of every other (reserved / opaque) triplet. Malformed
+    * sequences pass through. Idempotent: the output contains no unreserved
+    * triplets and only uppercase hex, both fixed points. */
+  private[crawl] def normalizePercent(s: String): String = {
+    if (s.indexOf('%') < 0) return s
+    val sb = new java.lang.StringBuilder(s.length)
+    var i = 0
+    while (i < s.length) {
+      val c = s.charAt(i)
+      if (c == '%' && i + 2 < s.length &&
+          hexVal(s.charAt(i + 1)) >= 0 && hexVal(s.charAt(i + 2)) >= 0) {
+        val v = hexVal(s.charAt(i + 1)) * 16 + hexVal(s.charAt(i + 2))
+        if (isUnreserved(v)) sb.append(v.toChar)
+        else {
+          sb.append('%')
+          sb.append(Character.toUpperCase(s.charAt(i + 1)))
+          sb.append(Character.toUpperCase(s.charAt(i + 2)))
+        }
+        i += 3
+      } else { sb.append(c); i += 1 }
+    }
+    sb.toString
   }
 
   private def stripFragment(s: String): String = {

@@ -142,8 +142,9 @@ class CanonicalPropSpec extends AnyFunSuite {
     scheme <- Gen.oneOf("http", "https", "HTTP", "Https")
     host <- Gen.oneOf("Example.COM", "h3.example.test", "a.b.c")
     port <- Gen.oneOf("", ":80", ":443", ":8080")
-    path <- Gen.oneOf("", "/", "/a/b", "/a/./b", "/a/../b/c", "/p/x/")
-    query <- Gen.oneOf("", "?", "?q=1&r=2")
+    path <- Gen.oneOf("", "/", "/a/b", "/a/./b", "/a/../b/c", "/p/x/",
+      "/%7ea", "/%7Ea", "/a%2Fb", "/a%2fb", "/%41%5a", "/x%", "/x%G1", "/a/%2E%2E/b")
+    query <- Gen.oneOf("", "?", "?q=1&r=2", "?q=%7e", "?q=%3d%3D")
     frag <- Gen.oneOf("", "#top", "#a/b")
   } yield s"$scheme://$host$port$path$query$frag"
 
@@ -163,6 +164,26 @@ class CanonicalPropSpec extends AnyFunSuite {
     assert(canonicalize("https://h.test:443") == "https://h.test/")
     assert(canonicalize("https://h.test/p?") == "https://h.test/p")
     assert(host("https://H.Test:8080/x") == "h.test")
+  }
+
+  test("percent-encoding normalization (RFC 3986 §6.2.2, VERDICT r3)") {
+    // unreserved decodes — all three spellings collapse to one seen-set key
+    assert(canonicalize("https://h.test/%7Ea") == "https://h.test/~a")
+    assert(canonicalize("https://h.test/%7ea") == "https://h.test/~a")
+    assert(canonicalize("https://h.test/~a") == "https://h.test/~a")
+    assert(canonicalize("https://h.test/%41%5A%30%2D%2E%5F") == "https://h.test/AZ0-._")
+    // reserved encodings KEPT (an encoded slash is not a path separator) —
+    // but their hex is uppercased
+    assert(canonicalize("https://h.test/a%2Fb") == "https://h.test/a%2Fb")
+    assert(canonicalize("https://h.test/a%2fb") == "https://h.test/a%2Fb")
+    assert(canonicalize("https://h.test/a%2Fb") != canonicalize("https://h.test/a/b"))
+    // decode precedes dot resolution: %2E%2E is an encoded dot-segment
+    assert(canonicalize("https://h.test/a/%2E%2E/b") == "https://h.test/b")
+    // malformed triplets pass through
+    assert(canonicalize("https://h.test/x%") == "https://h.test/x%")
+    assert(canonicalize("https://h.test/x%G1") == "https://h.test/x%G1")
+    // query normalized too
+    assert(canonicalize("https://h.test/p?q=%7e&r=%3d") == "https://h.test/p?q=~&r=%3D")
   }
 
   test("string_to_int magnitude law: n万 == n * 10000 for integral n") {
