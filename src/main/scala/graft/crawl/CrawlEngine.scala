@@ -41,7 +41,12 @@ case class Seed(seed_id: String, root_url: String,
  * @param saltBuckets        salt fan-out for mega-host partitions (north
  *                           rule: salted repartitioning on host-hash)
  * @param bloomShards        seen-set prefilter shards
- * @param robotsDisallow     (host, path-prefix) gating rules (north rule)
+ * @param robotsDisallow     (host, path-prefix) disallow gating rules (north
+ *                           rule); evaluated with RFC 9309 §2.2.2
+ *                           longest-match precedence against robotsAllow
+ * @param robotsAllow        (host, path-prefix) Allow carve-outs — a longer
+ *                           allow match overrides a disallow prefix (and
+ *                           allow wins an equal-length tie)
  * @param realTimePacing     enforce delays as wall-clock sleeps in the fetch
  *                           stage (tests keep this off: budgets are modeled
  *                           as data — fetch ordinals × delay — so runs are
@@ -71,6 +76,7 @@ case class CrawlConfig(
     bloomShards: Int = 8,
     bloomFpp: Double = 0.01,
     robotsDisallow: Seq[(String, String)] = Nil,
+    robotsAllow: Seq[(String, String)] = Nil,
     realTimePacing: Boolean = false,
     shufflePartitions: Int = 32,
     bloomMinSeen: Long = 4096,
@@ -160,6 +166,30 @@ class CrawlEngine(
         .sortWithinPartitions($"url_canon")
         .persist()
     else df
+  }
+
+  /** disallow + allow rules as one gating dim (r_allow marks carve-outs). */
+  private lazy val robotsRuleRows: Seq[(String, String, Boolean)] =
+    cfg.robotsDisallow.map { case (h, p) => (h, p, false) } ++
+      cfg.robotsAllow.map { case (h, p) => (h, p, true) }
+  private def hasRobots: Boolean = robotsRuleRows.nonEmpty
+
+  /** Rows of `df` (frontier-shaped: url_hash/url_canon/host) BLOCKED by the
+    * robots rules under RFC 9309 §2.2.2 precedence: per url, the longest
+    * matching prefix rule wins, allow wins an equal-length tie, no match ⇒
+    * allowed. The rule dim is config-small ⇒ broadcast; the prefix match is
+    * a theta join (BroadcastNestedLoop — fine against a dim of rule rows);
+    * the verdict rank windows only over MATCHED rows (⊆ df × few rules). */
+  private def robotsBlockedOf(df: DataFrame): DataFrame = {
+    val rules = broadcast(robotsRuleRows.toDF("r_host", "r_prefix", "r_allow"))
+    df.join(rules,
+        df("host") === $"r_host" &&
+          expr("parse_url(url_canon, 'PATH')").startsWith($"r_prefix"))
+      .withColumn("_rr", row_number().over(
+        Window.partitionBy($"url_hash")
+          .orderBy(length($"r_prefix").desc, $"r_allow".desc)))
+      .filter($"_rr" === 1 && !$"r_allow")
+      .select(df.columns.toIndexedSeq.map(df(_)): _*)
   }
 
   /** running |seen| — avoids a count job per batch; exact because every
@@ -485,20 +515,12 @@ class CrawlEngine(
         definitelyNew.unionByName(resolved)
       } else front // frontier ∩ seen = ∅ is maintained by construction below
 
-    // ---- robots gating (north rule). Small dim ⇒ broadcast; prefix match
-    // is a theta join so Catalyst plans BroadcastNestedLoop — fine for a
-    // dim of rule rows.
-    val robotsBlocked = if (cfg.robotsDisallow.isEmpty) emptyFrontier else {
-      val robots = broadcast(cfg.robotsDisallow.toDF("r_host", "r_prefix"))
-      candidates.join(robots,
-        candidates("host") === robots("r_host") &&
-          expr("parse_url(url_canon, 'PATH')").startsWith(robots("r_prefix")))
-        .select(candidates.columns.toIndexedSeq.map(candidates(_)): _*)
-        .dropDuplicates("url_hash")
-        .persist()
-    }
-    val robotsBlockedCount = if (cfg.robotsDisallow.isEmpty) 0L else robotsBlocked.count()
-    val allowed = if (cfg.robotsDisallow.isEmpty) candidates
+    // ---- robots gating (north rule): RFC 9309 longest-match over the
+    // disallow + allow rule dims (see robotsBlockedOf).
+    val robotsBlocked = if (!hasRobots) emptyFrontier
+      else robotsBlockedOf(candidates).persist()
+    val robotsBlockedCount = if (!hasRobots) 0L else robotsBlocked.count()
+    val allowed = if (!hasRobots) candidates
       else candidates.join(robotsBlocked.select("url_hash"), Seq("url_hash"), "left_anti")
 
     // ---- W1/W3/F4: newest-first priority + per-host fetch budget.
@@ -767,13 +789,8 @@ class CrawlEngine(
       // robots gating at discovery: a disallowed url never enters the
       // frontier (candidate-time gating above remains as defense for
       // pre-existing frontier state / rule changes)
-      .transform(df => if (cfg.robotsDisallow.isEmpty) df else {
-        val robots = broadcast(cfg.robotsDisallow.toDF("r_host", "r_prefix"))
-        df.join(robots,
-            df("host") === robots("r_host") &&
-              expr("parse_url(url_canon, 'PATH')").startsWith(robots("r_prefix")),
-            "left_anti")
-      })
+      .transform(df => if (!hasRobots) df
+        else df.join(robotsBlockedOf(df).select("url_hash"), Seq("url_hash"), "left_anti"))
 
     // seen adds: first-occurrence-wins (weibo.py:1698-1699) holds by
     // construction — processed rows were anti-joined against seen on entry
@@ -852,7 +869,7 @@ class CrawlEngine(
     seenSizeCache = newSeenSize
     frontierSizeCache = newFrontierSize
     missingRows.foreach(_.unpersist())
-    if (!cfg.robotsDisallow.isEmpty) robotsBlocked.unpersist()
+    if (hasRobots) robotsBlocked.unpersist()
     // U6 — health notifications (util/notify.py; weibo.py:436-450,1804):
     // anomalies alert ONCE per condition (the reference suppresses repeats)
     if (invariantViolations > 0) notifyOnce("invariant",

@@ -1,24 +1,33 @@
 package graft.crawl
 
 /**
- * Minimal robots.txt parsing (north rule: "robots.txt gating"; the
+ * robots.txt parsing + rule evaluation (north rule: "robots.txt gating"; the
  * reference's closest analog is its ban-avoidance pacing,
  * /root/reference/weibo.py:697-705 — robots rules are the web-scale
  * generalization).
  *
- * Implements the subset the gating stage consumes: `Disallow:` path prefixes
- * for `User-agent: *` (or a named agent), case-insensitive field names,
- * `#` comments, group semantics per RFC 9309 §2.1 (a group ends at the next
- * user-agent line that starts a new group). `Allow:` is intentionally not
- * modeled — the engine gates on disallow prefixes only (conservative).
+ * Implements the subset the gating stage consumes, per RFC 9309:
+ *  - `Disallow:` and `Allow:` path prefixes for `User-agent: *` (or a named
+ *    agent), case-insensitive field names, `#` comments;
+ *  - group semantics per §2.1 (a group ends at the next user-agent line that
+ *    starts a new group; consecutive user-agent lines share one group);
+ *  - precedence per §2.2.2: the MOST SPECIFIC (longest-prefix) matching rule
+ *    wins; on an allow/disallow tie at equal length, allow wins. A path
+ *    matching no rule is allowed.
+ *
+ * Out of scope (declared): `*` wildcards and `$` end-anchors inside rule
+ * paths are treated as literal characters, and `Crawl-delay` is not parsed —
+ * the engine's politeness budgets are per-host config (CrawlConfig), not
+ * robots-derived.
  */
 object Robots {
 
-  /** Parse a robots.txt body → disallow path prefixes that apply to `agent`
-    * (or to `*`). Empty `Disallow:` (allow-all marker) rows are dropped. */
-  def disallowPrefixes(robotsTxt: String, agent: String = "*"): Seq[String] = {
+  /** Parse a robots.txt body → (path-prefix, isAllow) rules that apply to
+    * `agent` (or to `*`), in file order. Empty-value rows (the allow-all
+    * `Disallow:` marker and its no-op `Allow:` dual) are dropped. */
+  def rules(robotsTxt: String, agent: String = "*"): Seq[(String, Boolean)] = {
     if (robotsTxt == null) return Nil
-    val out = Seq.newBuilder[String]
+    val out = Seq.newBuilder[(String, Boolean)]
     var inMatchingGroup = false
     var groupHasAgents = false
     robotsTxt.linesIterator.foreach { raw =>
@@ -40,7 +49,10 @@ object Robots {
               groupHasAgents = false
             case "disallow" =>
               groupHasAgents = true
-              if (inMatchingGroup && value.nonEmpty) out += value
+              if (inMatchingGroup && value.nonEmpty) out += ((value, false))
+            case "allow" =>
+              groupHasAgents = true
+              if (inMatchingGroup && value.nonEmpty) out += ((value, true))
             case _ =>
               groupHasAgents = true // any rule line closes the agent list
           }
@@ -50,9 +62,42 @@ object Robots {
     out.result()
   }
 
-  /** (host, robotsTxt) pairs → the engine's gating rule rows. */
+  /** Disallow prefixes only (the conservative pre-r4 gating input; kept for
+    * callers that ignore Allow carve-outs). */
+  def disallowPrefixes(robotsTxt: String, agent: String = "*"): Seq[String] =
+    rules(robotsTxt, agent).collect { case (p, false) => p }
+
+  /** RFC 9309 §2.2.2 longest-match evaluation of a path against a rule set:
+    * most specific (longest) matching prefix wins; allow wins a same-length
+    * tie; no match ⇒ allowed. The driver-side mirror of the engine's
+    * distributed gating predicate (CrawlEngine.robotsBlockedOf). */
+  def isAllowed(ruleSet: Seq[(String, Boolean)], path: String): Boolean = {
+    var bestLen = -1
+    var bestAllow = true
+    ruleSet.foreach { case (prefix, allow) =>
+      if (path.startsWith(prefix) &&
+          (prefix.length > bestLen || (prefix.length == bestLen && allow))) {
+        bestLen = prefix.length
+        bestAllow = allow
+      }
+    }
+    bestAllow
+  }
+
+  /** (host, robotsTxt) pairs → the engine's DISALLOW gating rule rows. */
   def toRules(perHost: Seq[(String, String)], agent: String = "*"): Seq[(String, String)] =
     perHost.flatMap { case (host, txt) =>
       disallowPrefixes(txt, agent).map(p => (host, p))
     }
+
+  /** (host, robotsTxt) pairs → (disallowRows, allowRows) for
+    * CrawlConfig.robotsDisallow / robotsAllow. */
+  def toRulePair(perHost: Seq[(String, String)], agent: String = "*")
+      : (Seq[(String, String)], Seq[(String, String)]) = {
+    val all = perHost.flatMap { case (host, txt) =>
+      rules(txt, agent).map { case (p, a) => (host, p, a) }
+    }
+    (all.collect { case (h, p, false) => (h, p) },
+      all.collect { case (h, p, true) => (h, p) })
+  }
 }

@@ -211,6 +211,40 @@ class CrawlSpec extends AnyFunSuite {
     assert(eng.frontier().filter($"host" === megaHost).count() == 0)
   }
 
+  test("robots Allow carve-out: longer allow overrides host disallow end-to-end (RFC 9309 §2.2.2)") {
+    val h = "rb.example.test"
+    val base = PagesGen.BaseTsMillis
+    def mk(url: String, ts: Long, links: Seq[String]) = {
+      val html = links.map(l => s"""<a href="$l">x</a>""").mkString + "body"
+      Page(url, new java.sql.Timestamp(ts), html.getBytes("UTF-8"),
+        TextExtract.extractText(html), "en")
+    }
+    def u(uid: Int, p: Int) = s"https://$h/u/$uid/p/$p"
+    // user 1 (carved out) pages chain; p0 also cross-links to user 2 (blocked)
+    val pages = Seq(
+      mk(u(1, 0), base - 1000, Seq(u(1, 1), u(2, 1))),
+      mk(u(1, 1), base - 2000, Seq(u(1, 2))),
+      mk(u(1, 2), base - 3000, Nil),
+      mk(u(2, 0), base - 1500, Seq(u(2, 1))),
+      mk(u(2, 1), base - 2500, Nil)).toDF
+    val eng = new CrawlEngine(spark, pages, tmp(),
+      CrawlConfig(defaultHostBudget = 8, maxDepth = 8, shufflePartitions = 2,
+        robotsDisallow = Seq((h, "/u/")),
+        robotsAllow = Seq((h, "/u/1/"))))
+    val since = new java.sql.Timestamp(base - 86400_000L)
+    val end = new java.sql.Timestamp(base)
+    eng.initialize(Seq(Seed("s1", u(1, 0), since, end), Seed("s2", u(2, 0), since, end)))
+    val ms = eng.run(4)
+    val fetched = eng.fetched().get
+    assert(fetched.count() == 3, "exactly user 1's three pages fetch")
+    assert(fetched.filter(!$"url_canon".startsWith(s"https://$h/u/1/")).count() == 0,
+      "a url outside the Allow carve-out was fetched")
+    // the blocked seed root was gated at candidate time (counted), and the
+    // cross-link to user 2 was gated at discovery (never enters the frontier)
+    assert(ms.map(_("robots_blocked")).sum == 1)
+    assert(eng.frontier().count() == 0)
+  }
+
   test("seed window: since_ts in the future fetches nothing for that seed (weibo.py:2735-2737)") {
     val future = new java.sql.Timestamp(PagesGen.BaseTsMillis + 86400_000L)
     val farFuture = new java.sql.Timestamp(PagesGen.BaseTsMillis + 2 * 86400_000L)
@@ -324,6 +358,38 @@ class RobotsSpec extends org.scalatest.funsuite.AnyFunSuite {
   test("toRules builds engine gating rows") {
     assert(Robots.toRules(Seq(("h0.example.test", "User-agent: *\nDisallow: /u/"))) ==
       Seq(("h0.example.test", "/u/")))
+  }
+
+  val txtAllow =
+    """User-agent: *
+      |Disallow: /u/
+      |Allow: /u/pub/
+      |Allow: /open
+      |Disallow: /open
+      |Allow:
+      |""".stripMargin
+
+  test("Allow rules parsed alongside Disallow; empty Allow dropped (RFC 9309)") {
+    assert(Robots.rules(txtAllow) ==
+      Seq(("/u/", false), ("/u/pub/", true), ("/open", true), ("/open", false)))
+    assert(Robots.disallowPrefixes(txtAllow) == Seq("/u/", "/open"))
+  }
+
+  test("longest-match precedence: longer allow overrides disallow; allow wins equal-length tie (RFC 9309 §2.2.2)") {
+    val rs = Robots.rules(txtAllow)
+    assert(!Robots.isAllowed(rs, "/u/x"), "disallow prefix must block")
+    assert(Robots.isAllowed(rs, "/u/pub/x"), "longer Allow carve-out must override /u/ disallow")
+    assert(Robots.isAllowed(rs, "/open/x"), "equal-length allow/disallow tie goes to allow")
+    assert(Robots.isAllowed(rs, "/other"), "unmatched path is allowed")
+    // longest DISALLOW also overrides a shorter allow
+    val rs2 = Seq(("/a/", true), ("/a/secret/", false))
+    assert(Robots.isAllowed(rs2, "/a/x") && !Robots.isAllowed(rs2, "/a/secret/x"))
+  }
+
+  test("toRulePair splits per-host rule rows for CrawlConfig") {
+    val (dis, allow) = Robots.toRulePair(Seq(("h.test", txtAllow)))
+    assert(dis == Seq(("h.test", "/u/"), ("h.test", "/open")))
+    assert(allow == Seq(("h.test", "/u/pub/"), ("h.test", "/open")))
   }
 }
 
