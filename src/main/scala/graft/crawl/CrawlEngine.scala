@@ -641,8 +641,12 @@ class CrawlEngine(
 
     // O7/O8 inverted (real fetches only): parallel across hosts, sequential
     // within a (host, salt) shard — pace() repartitions so one task owns each
-    // shard's token-bucket. Data-only runs skip the extra shuffle entirely.
-    val paced = if (cfg.realTimePacing) pace(fetchedUniq) else fetchedUniq
+    // shard's token-bucket and stamps the actual fetch wall-clock into
+    // paced_at_ms (lineage: the reference logs its sleep cadence,
+    // weibo.py:2769-2778). Data-only runs skip the extra shuffle entirely
+    // and carry a null stamp.
+    val fetchedStamped = fetchedUniq.withColumn("paced_at_ms", lit(null).cast("long"))
+    val paced = if (cfg.realTimePacing) pace(fetchedStamped) else fetchedStamped
 
     // ---- F3 time window + U1 parse + invariant check + U5 outlinks.
     // Windows are HALF-OPEN [since, end): the reference's inclusive 23:59:59
@@ -668,7 +672,8 @@ class CrawlEngine(
       .select($"url_canon", $"url_hash", $"host", $"seed_id", $"depth",
         $"since_ts", $"end_ts", $"warc_ts", $"lang", $"found", $"in_range",
         $"invariant_ok", $"text_extracted", $"outlinks",
-        $"batch_id", $"partition_id", $"fetch_ordinal", $"sched_delay_ms")
+        $"batch_id", $"partition_id", $"fetch_ordinal", $"sched_delay_ms",
+        $"paced_at_ms")
 
     // ---- the single heavy materialization of the batch: the parsed log IS
     // the fetched/deferred/errors output (filtered views at read time), the
@@ -1031,8 +1036,11 @@ class CrawlEngine(
     * realTimePacing is on (real crawls). Partitions are sorted by
     * (host, fetch_ordinal); each task owns its host shards and sleeps the
     * residual delay budget between fetches of the same host
-    * (weibo.py:2769-2778 analog). Data passes through unchanged. */
-  private def pace(df: DataFrame): DataFrame = {
+    * (weibo.py:2769-2778 analog). Data passes through unchanged except the
+    * `paced_at_ms` placeholder column, which is stamped with the actual
+    * post-sleep fetch time (lineage + the spacing evidence CrawlSpec
+    * asserts). Expects the input to already carry a null `paced_at_ms`. */
+  private[graft] def pace(df: DataFrame): DataFrame = {
     import org.apache.spark.sql.graftbridge
     val salted = df
       .withColumn("host_salt", pmod(xxhash64($"host", pmod($"url_hash", lit(cfg.saltBuckets.toLong))),
@@ -1040,8 +1048,15 @@ class CrawlEngine(
       .repartition(cfg.shufflePartitions, $"host_salt")
     val schema = salted.schema
     val hostIdx = schema.fieldIndex("host")
+    val stampIdx = schema.fieldIndex("paced_at_ms")
     val delayMs = cfg.defaultDelayMs
-    val sorted = salted.sortWithinPartitions($"host_salt", $"fetch_ordinal")
+    // host INSIDE the sort key: several hosts can share one salt shard, and
+    // sorting by ordinal alone would interleave them — the consecutive-row
+    // bookkeeping below would then never see two same-host rows back to back
+    // and enforce no delay at all (caught by PacingSpec's one-shard test).
+    // With hosts contiguous, a shard serializes its hosts (documented
+    // semantics) and each host's run is ordinal-ordered.
+    val sorted = salted.sortWithinPartitions($"host_salt", $"host", $"fetch_ordinal")
     val out = graftbridge.toInternalRdd(sorted).mapPartitions { rows =>
       var lastHost: String = null
       var lastAt = 0L
@@ -1053,7 +1068,13 @@ class CrawlEngine(
           if (wait > 0) Thread.sleep(wait)
         }
         lastHost = host; lastAt = System.currentTimeMillis()
-        r.copy()
+        // stable copy first (the scan reuses its row buffer), then stamp the
+        // fetch time into the placeholder slot via a generic row
+        val c = r.copy()
+        val vals = c.toSeq(schema).toArray
+        vals(stampIdx) = lastAt
+        new org.apache.spark.sql.catalyst.expressions.GenericInternalRow(vals)
+          : org.apache.spark.sql.catalyst.InternalRow
       }
     }
     graftbridge.fromInternalRdd(spark, out, schema)
