@@ -36,9 +36,12 @@ object Bench {
 
   /** Crawl throughput: preloaded frontier (the 10^10-frontier model is
     * "frontier already full"), politeness budgets high-but-bounded, sharded
-    * ranking for the mega-host. Returns (urlsFetched, seconds). */
+    * ranking for the mega-host. Returns (urlsFetched, seconds, per-phase
+    * wall-second sums). `paced = true` routes every batch through the
+    * wall-clock pacing stage with a zero delay budget — the pacing MACHINERY
+    * overhead (extra repartition + sort + row stamping) without the sleeps. */
   def crawlBench(spark: SparkSession, nPages: Long, cpus: Int, batches: Int,
-      bodyRepeat: Int): (Long, Double) = {
+      bodyRepeat: Int, paced: Boolean = false): (Long, Double, Map[String, Double]) = {
     import spark.implicits._
     val pages = corpus(spark, nPages, bodyRepeat)
     val wideSince = new java.sql.Timestamp(0L)
@@ -67,6 +70,7 @@ object Bench {
       maxDepth = 8, saltBuckets = 64, shufflePartitions = cpus * 2,
       bloomMinSeen = 100000, cachePages = false, broadcastScheduled = true,
       detailedMetrics = false, shardedRanking = true,
+      realTimePacing = paced,
       corpusUnique = true)) // PagesGen urls are unique by construction
     eng.initializeWithFrontier(preload)
     val t0 = System.nanoTime()
@@ -77,7 +81,7 @@ object Bench {
     try graft.crawl.StateStore.deleteRecursively(java.nio.file.Paths.get(stateDir))
     catch { case e: Throwable =>
       System.err.println(s"[bench] state-dir cleanup failed: ${e.getMessage}") }
-    (ms.map(_("fetched")).sum, dt)
+    (ms.map(_("fetched")).sum, dt, eng.timingTotals)
   }
 
   /** Launch ScalingProbe in an isolated child JVM pinned to `cpus`
@@ -144,23 +148,31 @@ object Bench {
 
   case class ChildResult(fetched: Long, sec: Double, stageTp: Double, parseTp: Double)
 
+  /** One full-e2e local-cluster crawl run: layout, wall seconds, throughput,
+    * and the engine's per-phase wall-second sums (from the child's PROBE5). */
+  case class LcRun(nExec: Int, fetched: Long, sec: Double, phases: Map[String, Double]) {
+    def tp: Double = fetched / sec
+  }
+
   /** FULL e2e crawl (state commits, bloom, delta writes) under `nExec` REAL
     * executor JVMs of 8 cores each — the north-rule two-cluster-size control
     * (VERDICT r2 item 1). The driver JVM is unpinned (identical in both
     * layouts); each executor JVM is pinned to its 8 slots by ScalingProbe's
     * spark.executor.extraJavaOptions. */
-  private def lcCrawl(nExec: Int, nPages: Long, bodyRepeat: Int): (Long, Double) = {
+  private def lcCrawl(nExec: Int, nPages: Long, bodyRepeat: Int): LcRun = {
     val env = Map(
       "GRAFT_MASTER" -> s"local-cluster[$nExec,8,10240]",
       "SPARK_HOME" -> "/opt/spark",
       "SPARK_SCALA_VERSION" -> "2.13")
-    def once(): (Long, Double) = {
+    def once(): LcRun = {
       val kv = childCollect(
         childStart(nExec * 8, nPages, bodyRepeat, "crawl", 16, env, pin = false),
         s"lc-$nExec")
       val e2e = kv.getOrElse("PROBE", Map.empty)
       require(e2e.nonEmpty, s"local-cluster[$nExec,8] child produced no PROBE line")
-      (e2e("fetched").toLong, e2e("sec").toDouble)
+      val phases = kv.getOrElse("PROBE5", Map.empty)
+        .flatMap { case (k, v) => scala.util.Try(k -> v.toDouble).toOption }
+      LcRun(nExec, e2e("fetched").toLong, e2e("sec").toDouble, phases)
     }
     try once() catch { case e: Throwable =>
       System.err.println(s"[bench] lc-$nExec failed once (${e.getMessage}); retrying")
@@ -219,8 +231,10 @@ object Bench {
     corpus(spark, 200000, 250).count() // PROBE3 corpus — generate once at full width
     if (!skipScaling) corpus(spark, lcPages, bodyRepeat).count() // local-cluster corpus
     val inSession: Option[(Long, Double)] =
-      if (skipScaling) Some(crawlBench(spark, benchPages, cpus, batches = 2, bodyRepeat))
-      else None
+      if (skipScaling) {
+        val (f, d, _) = crawlBench(spark, benchPages, cpus, batches = 2, bodyRepeat)
+        Some((f, d))
+      } else None
     spark.stop()
 
     // ---- phase 2: scaling evidence — same job, same corpus, N vs 4N cores.
@@ -263,17 +277,29 @@ object Bench {
       val effMp = fourAgg / (4.0 * solo)
       val effMpStage = fourStAgg / (4.0 * soloSt)
       // ---- local-cluster e2e crawl: FULL engine under 1 vs 4 REAL executor
-      // JVMs, interleaved min-of-2 per level (one-sided host noise)
-      val lcOrder = Seq(1, 4, 4, 1)
-      val lcAll = lcOrder.map(nx => nx -> lcCrawl(nx, lcPages, bodyRepeat))
-      def lcTp(nx: Int) = lcAll.collect { case (`nx`, (f, sec)) => f / sec }.max
-      val (lcTp1, lcTp4) = (lcTp(1), lcTp(4))
-      val lcEff = lcTp4 / (4.0 * lcTp1)
+      // JVMs. VERDICT r3 item 1 (the round's one `weak`): the artifact must
+      // be SELF-SUFFICIENT — N>=3 interleaved pairs, min/median/max per
+      // level, and the per-phase decomposition recorded per run, so the
+      // stated efficiency is reproducible from the file alone.
+      val lcOrder = Seq(1, 4, 4, 1, 1, 4)
+      val lcRuns = lcOrder.map(nx => lcCrawl(nx, lcPages, bodyRepeat))
+      def tpsOf(nx: Int) = lcRuns.filter(_.nExec == nx).map(_.tp).sorted
+      def med(xs: Seq[Double]) = xs(xs.size / 2)
+      def tpsJson(xs: Seq[Double]) = s"[${r1(xs.min)},${r1(med(xs))},${r1(xs.max)}]"
+      def lcRunJson(r: LcRun) =
+        s"""{"nx":${r.nExec},"sec":${r1(r.sec)},"tp":${r1(r.tp)},"phases":{""" +
+          r.phases.map { case (k, v) => s""""$k":${r1(v)}""" }.mkString(",") + "}}"
+      val (tps1, tps4) = (tpsOf(1), tpsOf(4))
+      val lcEffMed = med(tps4) / (4.0 * med(tps1))
+      val lcEffBest = tps4.max / (4.0 * tps1.max)
       // near-empty batches (tiny corpus): wall ≈ pure per-batch driver
       // orchestration — the decomposition's fixed term, measured under BOTH
-      // layouts (it should be equal: it is the same driver either way)
-      val lcFix1 = lcCrawl(1, 60000L, bodyRepeat)._2
-      val lcFix4 = lcCrawl(4, 60000L, bodyRepeat)._2
+      // layouts (it should be equal: it is the same driver either way).
+      // Interleaved min-of-2 per level: the fixed term is a floor, so min is
+      // the right robust estimator under one-sided host noise.
+      val lcFixRuns = Seq(1, 4, 4, 1).map(nx => nx -> lcCrawl(nx, 60000L, bodyRepeat).sec)
+      def fixOf(nx: Int) = lcFixRuns.collect { case (`nx`, s) => s }.min
+      val (lcFix1, lcFix4) = (fixOf(1), fixOf(4))
       // ---- shared-disk sink bandwidth: 8 vs 32 cores — names the flat
       // write term of the e2e crawl on this one-disk box
       val (sink8, sink32) = (sinkProbe(8), sinkProbe(32))
@@ -290,8 +316,11 @@ object Bench {
         s""""stage_1x8jvm_tp":${r1(soloSt)},"stage_4x8jvm_agg_tp":${r1(fourStAgg)},""" +
         s""""stage_multiproc_efficiency":${r3(effMpStage)},""" +
         s""""lc_crawl_pages":$lcPages,""" +
-        s""""lc_crawl_tp_1x8":${r1(lcTp1)},"lc_crawl_tp_4x8":${r1(lcTp4)},""" +
-        s""""crawl_localcluster_efficiency":${r3(lcEff)},""" +
+        s""""lc_runs":[${lcRuns.map(lcRunJson).mkString(",")}],""" +
+        s""""lc_tp_1x8":${tpsJson(tps1)},"lc_tp_4x8":${tpsJson(tps4)},""" +
+        s""""lc_eff_median":${r3(lcEffMed)},"lc_eff_best":${r3(lcEffBest)},""" +
+        s""""crawl_localcluster_efficiency":${r3(lcEffMed)},""" +
+        s""""lc_fixed_runs":[${lcFixRuns.map { case (nx, s) => s"""[$nx,${r1(s)}]""" }.mkString(",")}],""" +
         s""""lc_fixed_sec_1x8":${r1(lcFix1)},"lc_fixed_sec_4x8":${r1(lcFix4)},""" +
         s""""sink_mbps_8":${r1(sink8)},"sink_mbps_32":${r1(sink32)},""" +
         s""""sink_scaling":${r3(sinkScaling)}}"""
@@ -299,20 +328,48 @@ object Bench {
         s""""sec_32":${r1(r32.sec)},"tp_32":${r1(tp32)},""" +
         s""""efficiency_8_to_32":${r3(eff)},"stage_efficiency":${r3(effStage)},""" +
         s""""parse_efficiency":${r3(effParse)},"multiproc_efficiency":${r3(effMp)},""" +
-        s""""stage_multiproc_efficiency":${r3(effMpStage)},""" +
-        s""""lc_crawl_tp_1x8":${r1(lcTp1)},"lc_crawl_tp_4x8":${r1(lcTp4)},""" +
-        s""""crawl_localcluster_efficiency":${r3(lcEff)},"sink_scaling":${r3(sinkScaling)}}"""
+        s""""lc_tp_1x8":${tpsJson(tps1)},"lc_tp_4x8":${tpsJson(tps4)},""" +
+        s""""lc_eff_median":${r3(lcEffMed)},"lc_eff_best":${r3(lcEffBest)},""" +
+        s""""crawl_localcluster_efficiency":${r3(lcEffMed)},""" +
+        s""""lc_fix":[${r1(lcFix1)},${r1(lcFix4)}],"sink_scaling":${r3(sinkScaling)}}"""
     }
 
     // ---- phase 3: query pack on sfDir (after scaling — its 64 GB-heap
     // session would otherwise degrade the 32-core children)
     spark = session(cpus)
+    // derived fixtures (q50/q51 oracle corpus) materialize OUTSIDE the timed
+    // loop and their one-time cost is recorded separately (VERDICT r3 item
+    // 5: deriving inside q50's timing made round-over-round deltas compare
+    // unlike compositions)
+    val fixtureSec = SparkEntry.prepareFixtures(spark, sfDir)
     val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
       val t0 = System.nanoTime()
       try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
       name -> (System.nanoTime() - t0) / 1e9
     }
     val queriesTotal = results.map(_._2).sum
+    // production-width (64-bit) simhash near-dup pass (VERDICT r3 item 7's
+    // bench line) — same doc_id cap as the oracle-gated 16-bit q24;
+    // ScalaTest-gated (xxhash64 has no DuckDB analog to oracle against)
+    val sim64Sec = {
+      val t0 = System.nanoTime()
+      graft.pipeline.Dedup.simhashNearDups64(
+        spark.read.parquet(s"$sfDir/documents.parquet")
+          .filter(org.apache.spark.sql.functions.col("doc_id") < 1000), maxDist = 3).count()
+      (System.nanoTime() - t0) / 1e9
+    }
+    // pacing-machinery overhead (VERDICT r3 item 2's bench line): the full
+    // crawl with realTimePacing on but a ZERO delay budget — isolates the
+    // pacing stage's extra repartition + sort + row stamping from the sleeps
+    // (which at a real delay budget dominate by design). In-session pair so
+    // both runs share one environment.
+    val pacedJson = if (skipScaling) "" else {
+      val (uf, ud, _) = crawlBench(spark, benchPages, cpus, 2, bodyRepeat)
+      val (pf, pd, _) = crawlBench(spark, benchPages, cpus, 2, bodyRepeat, paced = true)
+      val r1l = (x: Double) => math.round(x * 10) / 10.0
+      val overheadPct = math.round((1.0 - (pf / pd) / (uf / ud)) * 1000) / 10.0
+      s""","paced":{"tp":${r1l(pf / pd)},"tp_unpaced":${r1l(uf / ud)},"overhead_pct":$overheadPct}"""
+    }
     spark.stop()
 
     val (fetchedC, dtC) = crawlHeadline
@@ -321,8 +378,9 @@ object Bench {
     val total = queriesTotal + dtC
     def assemble(qs: String, scaling: String) =
       s"""{"metric":"total","value":${r1(total)},"unit":"sec","queries":$qs,"sf":"$sfDir"""" +
+        s""","fixture_sec":${r1(fixtureSec)},"simhash64_sec":${r1(sim64Sec)}""" +
         s""","crawl":{"pages":$benchPages,"fetched":$fetchedC,"sec":${r1(dtC)},"urls_per_sec":${r1(fetchedC / dtC)}}""" +
-        scaling + "}"
+        pacedJson + scaling + "}"
     // full-detail machine-readable copy; the stdout line is the harness
     // contract and must fit the harness's 2000-char log-tail window, so it
     // uses the (unique) qNN key prefixes, 2-decimal seconds, and

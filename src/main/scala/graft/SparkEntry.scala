@@ -326,6 +326,14 @@ object SparkEntry {
       Similarity.lshTopK(emb.filter(col("vec_id") < 10), emb, k = 5, bits = 8, dims = 64)
     }),
 
+    // multi-probe LSH (VERDICT r3 item 8): probe Hamming-radius-1 buckets of
+    // the query signature — recall over q26's single bucket, same join shape
+    "q68_ann_lsh_multiprobe" -> ((s, dir) => {
+      val emb = t(s, dir, "embeddings")
+      Similarity.lshTopKMultiProbe(emb.filter(col("vec_id") < 10), emb,
+        k = 5, bits = 8, dims = 64, probeRadius = 1)
+    }),
+
     "q27_ann_ivf_topk" -> ((s, dir) => {
       val emb = t(s, dir, "embeddings")
       Similarity.ivfTopK(emb.filter(col("vec_id") < 10), emb, k = 5,
@@ -555,9 +563,8 @@ object SparkEntry {
     // batches are exactly BFS layers (the budget-bound path stays covered by
     // CrawlSpec/WindowAndGuardSpec goldens).
     "q50_crawl_batch" -> ((s, dir) => {
-      val (eng, corpus) = crawlOracleEngine(s, dir)
+      val eng = crawlOracleEngine(s, dir)
       eng.run(3)
-      corpus.unpersist() // results read from the state store, not the corpus
       eng.fetched().get.select(col("url_canon"), col("host"), col("seed_id"),
         col("depth").cast("long").as("depth"), col("batch_id"),
         col("fetch_ordinal").cast("long").as("fetch_ordinal"),
@@ -565,9 +572,8 @@ object SparkEntry {
     }),
 
     "q51_crawl_frontier" -> ((s, dir) => {
-      val (eng, corpus) = crawlOracleEngine(s, dir)
+      val eng = crawlOracleEngine(s, dir)
       eng.run(2)
-      corpus.unpersist()
       eng.frontier().select(col("url_canon"), col("host"),
         col("depth").cast("long").as("depth"), col("seed_id"))
     }),
@@ -670,14 +676,37 @@ object SparkEntry {
       .withColumn("text", gf.extract_text_bin(col("html")))
   }
 
-  private def crawlOracleEngine(s: SparkSession, dir: String): (CrawlEngine, DataFrame) = {
+  /** The derived corpus (window + html render + extract_text over events),
+    * MATERIALIZED once per (sf dir) to a /tmp parquet and read back on every
+    * later call (VERDICT r3 item 5: deriving it inside q50's timed path made
+    * bench deltas compare a crawl+derivation composite against r2's plain
+    * crawl). Values are a pure function of the events table, so the parquet
+    * round-trip changes nothing the oracle can see; bump the `v` tag when
+    * the derivation logic changes. Call [[prepareFixtures]] to pay the
+    * derivation outside a timed section. */
+  private def crawlOracleCorpusCached(s: SparkSession, dir: String): DataFrame = {
+    val tag = dir.replaceAll("[^A-Za-z0-9._-]", "_")
+    val path = s"/tmp/graft_q50_corpus_v1_${tag}_u$OracleU"
+    val marker = new java.io.File(path, "_GRAFT_DONE")
+    if (!marker.exists()) {
+      crawlOracleCorpus(s, dir).write.mode("overwrite").parquet(path)
+      marker.createNewFile()
+    }
+    s.read.parquet(path)
+  }
+
+  /** Materialize every derived bench/oracle fixture for `dir`; returns the
+    * seconds spent (0 if already materialized). Bench calls this before its
+    * timed query loop and records the cost separately. */
+  def prepareFixtures(s: SparkSession, dir: String): Double = {
+    val t0 = System.nanoTime()
+    crawlOracleCorpusCached(s, dir).count()
+    (System.nanoTime() - t0) / 1e9
+  }
+
+  private def crawlOracleEngine(s: SparkSession, dir: String): CrawlEngine = {
     val st = java.nio.file.Files.createTempDirectory("graft_crawl_oracle").toString
-    // persist: the corpus is derived (window + html render + extract_text);
-    // without it every per-batch corpus scan re-runs the derivation. The
-    // caller unpersists after run() — query results come from the state
-    // store, so the cache must not outlive the crawl (it would pin executor
-    // storage for the rest of the session).
-    val corpus = crawlOracleCorpus(s, dir).persist()
+    val corpus = crawlOracleCorpusCached(s, dir)
     val eng = new CrawlEngine(s, corpus, st,
       CrawlConfig(defaultHostBudget = 1000000, maxDepth = 64, shufflePartitions = 8,
         detailedMetrics = false))
@@ -685,7 +714,7 @@ object SparkEntry {
     val end = new java.sql.Timestamp((OracleBaseSec + 3600L) * 1000)
     eng.initialize((0L until 3L).map(u => Seed(s"seed$u",
       s"https://h$u.example.test/u/$u/p/0", since, end)))
-    (eng, corpus)
+    eng
   }
 
   /** q26's hyperplane constants inlined for the oracle — generated from the
@@ -720,6 +749,40 @@ object SparkEntry {
          |   FROM q JOIN c ON q.lsh_sig = c.lsh_sig AND q.query_id <> c.neighbor_id)
          |SELECT query_id, neighbor_id, CAST(rk AS BIGINT) AS rk, cos_r
          |FROM scored WHERE rk <= 5""".stripMargin,
+
+    "q68_ann_lsh_multiprobe" ->
+      s"""WITH v AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+         | p AS (SELECT * FROM (VALUES $lshPlaneValues) t(b, d, w)),
+         | dots AS (
+         |   SELECT v.vec_id, p.b, ROUND(SUM(v.v[p.d + 1] * p.w), 6) AS dp
+         |   FROM v, p GROUP BY v.vec_id, p.b),
+         | sig AS (
+         |   SELECT vec_id,
+         |     CAST(SUM(CASE WHEN dp > 0 THEN (1::BIGINT << b) ELSE 0 END) AS BIGINT) AS lsh_sig
+         |   FROM dots GROUP BY vec_id),
+         | q AS (SELECT s.vec_id AS query_id, s.lsh_sig, v.v AS qv
+         |       FROM sig s JOIN v ON v.vec_id = s.vec_id WHERE s.vec_id < 10),
+         | c AS (SELECT s.vec_id AS neighbor_id, s.lsh_sig, v.v AS cv
+         |       FROM sig s JOIN v ON v.vec_id = s.vec_id),
+         | probes AS (
+         |   SELECT query_id, lsh_sig AS probe_sig FROM q
+         |   UNION
+         |   SELECT query_id, xor(lsh_sig, (1::BIGINT << t.b)) AS probe_sig
+         |   FROM q, range(0, 8) t(b)),
+         | cand AS (
+         |   SELECT DISTINCT p.query_id, c.neighbor_id
+         |   FROM probes p JOIN c ON p.probe_sig = c.lsh_sig
+         |   WHERE p.query_id <> c.neighbor_id),
+         | scored AS (
+         |   SELECT cand.query_id, cand.neighbor_id,
+         |     ROUND(list_cosine_similarity(q.qv, c.cv), 6) AS cos_r,
+         |     ROW_NUMBER() OVER (PARTITION BY cand.query_id
+         |       ORDER BY ROUND(list_cosine_similarity(q.qv, c.cv), 6) DESC, cand.neighbor_id) AS rk
+         |   FROM cand JOIN q ON q.query_id = cand.query_id
+         |             JOIN c ON c.neighbor_id = cand.neighbor_id)
+         |SELECT query_id, neighbor_id, CAST(rk AS BIGINT) AS rk, cos_r
+         |FROM scored WHERE rk <= 5""".stripMargin,
+
     "q01_pricing_summary" ->
       """SELECT l_returnflag, l_linestatus,
         | CAST(SUM(CAST(l_quantity AS BIGINT)) AS BIGINT) AS sum_qty,

@@ -66,6 +66,14 @@ case class Seed(seed_id: String, root_url: String,
  *                           out-of-cadence fold into a fresh snapshot —
  *                           bounds probe cost / driver memory / task-closure
  *                           size when compaction is off or its cadence long
+ * @param headTable          sublinear scheduling (VERDICT r3 item 3):
+ *                           maintain a per-host head table of the top
+ *                           budget×(compactEvery+1) frontier candidates and
+ *                           rank batches over IT instead of scanning the
+ *                           full frontier — per-batch scheduling reads
+ *                           become O(Σ budgets + deltas). Requires
+ *                           compactEvery > 0 (the head rebuilds exactly at
+ *                           every compaction, which bounds truncation loss)
  */
 case class CrawlConfig(
     defaultHostBudget: Int = 5,
@@ -87,7 +95,8 @@ case class CrawlConfig(
     compactEvery: Int = 8,
     corpusUnique: Boolean = false,
     probePushdownMaxKeys: Int = 4096,
-    bloomRecentCap: Int = 16)
+    bloomRecentCap: Int = 16,
+    headTable: Boolean = false)
 
 /**
  * The URL-frontier + fetch-scheduler engine (BASELINE.json.north_rule).
@@ -142,6 +151,10 @@ class CrawlEngine(
 
   val store = new StateStore(spark, stateDir)
 
+  require(!cfg.headTable || cfg.compactEvery > 0,
+    "headTable requires compactEvery > 0: the head rebuilds exactly at each " +
+      "compaction, which is what bounds its truncation loss")
+
   // literal IN-sets must reach parquet as OR-chains: above the default
   // threshold (10) Spark pushes only [min, max] — useless on random 64-bit
   // hashes. The keyed probes cap their sets at probePushdownMaxKeys. The
@@ -166,6 +179,70 @@ class CrawlEngine(
         .sortWithinPartitions($"url_canon")
         .persist()
     else df
+  }
+
+  // ------------------------------------------------------------------
+  // Per-host head table (VERDICT r3 item 3 — sublinear scheduling).
+  //
+  // Without it, every batch window-ranks the FULL frontier even though only
+  // Σ host-budgets rows survive — at a 10^10-row frontier that scan+rank is
+  // the per-batch floor. The head table keeps, per host (or per politeness
+  // shard when shardedRanking), the top K = budget × (compactEvery + 1)
+  // candidates by the exact scheduling order (priority_ts desc, url_hash
+  // asc). Batches rank the head instead of the frontier.
+  //
+  // Exactness argument: a batch schedules the top `budget` rows per host
+  // (per shard: top effBudget ≤ floor(budget/S)+1). Between full rebuilds
+  // (every compactEvery batches, where the compaction already pays one full
+  // frontier scan) at most compactEvery × budget rows per host are consumed,
+  // and the incremental update (head ∖ processed ∪ adds, re-truncated to K)
+  // only ever drops rows whose rank in the union — and hence in the frontier
+  // (union ⊆ frontier) — exceeds K > compactEvery × budget + budget. So the
+  // true top-budget set per host is always ⊆ head: scheduling from the head
+  // equals scheduling from the full frontier (HeadTableSpec asserts
+  // equality; the K arithmetic is the proof sketch).
+  //
+  // Transients that can violate the argument get a same-batch full rebuild:
+  // robots rules newly blocking PRE-EXISTING frontier rows purge up to K
+  // head rows of a host at once (robotsBlockedCount > 0 ⇒ rebuild). The
+  // frontier ∩ seen = ∅ invariant (maintained from initialization onward)
+  // keeps seen-resolution from ever shrinking the head.
+  // ------------------------------------------------------------------
+
+  /** Head view at `committed` — built once from the frontier on first use
+    * over pre-head state (resume of an older state dir). */
+  private def headView(committed: Long): DataFrame =
+    store.latestVersion("head", committed) match {
+      case Some(v) => store.read("head", v, emptyFrontier)
+      case None =>
+        store.write("head", committed, buildHead(frontier(committed)))
+        store.read("head", committed, emptyFrontier)
+    }
+
+  /** Top-K-per-host (or per politeness shard) of a frontier-shaped input, in
+    * the exact scheduling order. K is budget × (compactEvery + 1); sharded
+    * mode uses the per-shard budget upper bound (floor(budget/S) + 1) so the
+    * rank parallelizes across a mega-host's shards — the same skew answer as
+    * sharded scheduling itself. */
+  private def buildHead(df: DataFrame): DataFrame = {
+    val budgetDf = broadcast(
+      (cfg.perHostBudget.toSeq :+ ("" -> cfg.defaultHostBudget))
+        .toDF("b_host", "b_budget"))
+    val saltCol = pmod($"url_hash", lit(cfg.saltBuckets.toLong))
+    val w =
+      if (cfg.shardedRanking)
+        Window.partitionBy($"host", saltCol).orderBy($"priority_ts".desc, $"url_hash".asc)
+      else Window.partitionBy($"host").orderBy($"priority_ts".desc, $"url_hash".asc)
+    val budget = coalesce($"b_budget", lit(cfg.defaultHostBudget)).cast("long")
+    val perGroupBudget =
+      if (cfg.shardedRanking) floor(budget / lit(cfg.saltBuckets)) + 1L
+      else budget
+    df.filter($"depth" <= cfg.maxDepth)
+      .join(budgetDf, $"host" === $"b_host", "left_outer")
+      .withColumn("_k", perGroupBudget * lit(cfg.compactEvery + 1L))
+      .withColumn("_hr", row_number().over(w))
+      .filter($"_hr" <= $"_k")
+      .select(emptyFrontier.columns.toIndexedSeq.map(col): _*)
   }
 
   /** disallow + allow rules as one gating dim (r_allow marks carve-outs). */
@@ -216,7 +293,7 @@ class CrawlEngine(
 
   private def lastLedgerMetric(committed: Long, colName: String): Option[Long] =
     ledger(committed).flatMap { l =>
-      val rows = l.filter($"state".isin("SUCCESS", "ROTATED")).orderBy($"batch_id".desc)
+      val rows = l.filter($"state".isin("SUCCESS", "ROTATED", "PURGED")).orderBy($"batch_id".desc)
         .select(colName).limit(1).collect()
       if (rows.nonEmpty && rows(0).getLong(0) >= 0) Some(rows(0).getLong(0)) else None
     }
@@ -455,13 +532,18 @@ class CrawlEngine(
   }
 
   private val timing = sys.env.contains("GRAFT_TIMING")
+  /** cumulative per-phase wall seconds across all batches — always
+    * maintained (one map update per phase per batch) so bench artifacts can
+    * embed the phase decomposition without the print-noise env flag. */
+  private val phaseTotals = scala.collection.mutable.LinkedHashMap[String, Double]()
+  def timingTotals: Map[String, Double] = phaseTotals.toMap
   private def timed[T](label: String)(f: => T): T = {
-    if (!timing) f else {
-      val t0 = System.nanoTime()
-      val r = f
-      println(f"[timing] $label%-22s ${(System.nanoTime() - t0) / 1e9}%7.2f s")
-      r
-    }
+    val t0 = System.nanoTime()
+    val r = f
+    val dt = (System.nanoTime() - t0) / 1e9
+    phaseTotals(label) = phaseTotals.getOrElse(label, 0.0) + dt
+    if (timing) println(f"[timing] $label%-22s $dt%7.2f s")
+    r
   }
 
   /** Run one micro-batch; returns the ledger metrics row as a Map. */
@@ -488,9 +570,15 @@ class CrawlEngine(
     // to the inverted broadcast-semi (seen scanned once, shuffle-free — never
     // a sort-merge of 10^10 rows).
     timed("bloom_ensure")(ensureBlobs(committed, seenCount))
+    // scheduling source: the head table (O(Σ budgets) rows) when enabled,
+    // else the full frontier view. Every stage downstream — bloom probe,
+    // robots gating, ranking — then reads head-bounded input; the full
+    // frontier is only read at compaction (head rebuild) and via the
+    // KEY-bounded membership probes.
+    val schedBase = if (cfg.headTable) timed("head_read")(headView(committed)) else front
     val candidates =
       if (bloomBc != null) {
-        val probed = front.withColumn("_maybe_seen",
+        val probed = schedBase.withColumn("_maybe_seen",
           BloomSeen.bloom_probe(bloomBc, bloomRecent.toList, $"url_hash"))
         val definitelyNew = probed.filter(!$"_maybe_seen").drop("_maybe_seen")
         val maybe = probed.filter($"_maybe_seen").drop("_maybe_seen")
@@ -513,7 +601,7 @@ class CrawlEngine(
         }
         val resolved = maybe.join(seenMatch, Seq("url_hash"), "left_anti")
         definitelyNew.unionByName(resolved)
-      } else front // frontier ∩ seen = ∅ is maintained by construction below
+      } else schedBase // frontier ∩ seen = ∅ is maintained by construction below
 
     // ---- robots gating (north rule): RFC 9309 longest-match over the
     // disallow + allow rule dims (see robotsBlockedOf).
@@ -857,6 +945,27 @@ class CrawlEngine(
       timed("bloom_fold")(refreshBloomAtCompaction(batchId, newSeenSize))
     }
 
+    // head-table maintenance: incremental O(|head| + batch) update per batch
+    // (remove processed, union this batch's adds, re-truncate to K in the
+    // exact scheduling order); FULL rebuild from the frontier view at every
+    // compaction (amortized — the compaction already scans the frontier) and
+    // whenever robots newly blocked pre-existing frontier rows (a purge can
+    // jump sub-head rows into the top-budget window before the next cadence
+    // rebuild). Written before commit: the commit pointer makes head/state
+    // flips atomic together, and a crashed batch's orphan head is invisible.
+    if (cfg.headTable) timed("head_update") {
+      val compacted = cfg.compactEvery > 0 && (batchId + 1) % cfg.compactEvery == 0
+      val src =
+        if (compacted || robotsBlockedCount > 0) frontier(batchId)
+        else {
+          val adds = store.readDeltaAdds("frontier", batchId - 1, batchId)
+            .map(_.drop("_add_batch")).getOrElse(emptyFrontier)
+          headView(committed).join(processedHashes, Seq("url_hash"), "left_anti")
+            .unionByName(adds)
+        }
+      store.write("head", batchId, buildHead(src))
+    }
+
     val candidateCount = if (cfg.detailedMetrics) candidates.count() else -1L
     val metrics = Map(
       "batch_id" -> batchId, "candidates" -> candidateCount,
@@ -956,6 +1065,8 @@ class CrawlEngine(
       clusterPartitions = cfg.shufflePartitions, rowCount = Some(seenObs))
     val frontNow = frontObs.get("n").asInstanceOf[Long]
     val seenNow = seenObs.get("n").asInstanceOf[Long]
+    // rotation rewrites the frontier base ⇒ the head rebuilds from it
+    if (cfg.headTable) store.write("head", batchId, buildHead(frontier(batchId)))
     // the in-memory bloom keeps the forgotten keys — a harmless
     // false-positive superset resolved by the exact membership check. No
     // snapshot is persisted here: the new seen base is NEWER than the bloom
@@ -1004,6 +1115,44 @@ class CrawlEngine(
     true
   }
 
+  /**
+   * Maintenance: purge every robots-blocked row from the frontier in ONE
+   * versioned batch (ledger state = PURGED, commit semantics identical to a
+   * normal batch). Call after CHANGING robots rules over an existing state
+   * dir: discovery-time gating keeps blocked urls out of the frontier under
+   * stable rules, so pre-existing blocked rows only arise from a rule
+   * change — and with the head table enabled, per-batch candidate gating
+   * would otherwise drain them only head-K rows at a time while the host's
+   * allowed rows starve behind them. Purged rows enter `seen`
+   * (blocked ≡ never fetch, same as batch-time gating). Costs one full
+   * frontier scan — the explicit price of a rule change, paid once.
+   * Returns the number of rows purged.
+   */
+  def purgeRobotsBlocked(): Long = {
+    if (!hasRobots) return 0L
+    val committed = store.committedBatch
+    val batchId = committed + 1
+    val blocked = robotsBlockedOf(frontier(committed)).persist()
+    val n = blocked.count()
+    if (n == 0) { blocked.unpersist(); return 0L }
+    store.writeDeltaDels("frontier", batchId, blocked.select("url_hash"))
+    store.writeDeltaAdds("seen", batchId, blocked
+      .withColumn("first_batch", lit(batchId))
+      .select("url_hash", "url_canon", "first_batch"))
+    if (bloomBc != null)
+      bloomRecent += buildShardBlobs(blocked.select("url_hash"), perShardCapFor(n))
+    val newSeen = seenSize(committed) + n
+    val newFront = frontierSize(committed) - n
+    if (cfg.headTable) store.write("head", batchId, buildHead(frontier(batchId)))
+    store.appendLog("ledger", batchId, ledgerRow(batchId, "PURGED", newSeen,
+      robotsBlocked = n, frontierSize = newFront))
+    store.commit(batchId)
+    seenSizeCache = newSeen
+    frontierSizeCache = newFront
+    blocked.unpersist()
+    n
+  }
+
   /** State GC — the Iceberg expire_snapshots analog (call between runs or
     * from a maintenance schedule): drops every state file superseded by the
     * newest committed base snapshots. Resume and all reads at the current
@@ -1016,6 +1165,7 @@ class CrawlEngine(
     store.expireBefore("seen", committed)
     store.expireSnapshotsBefore("bloom", committed)
     store.expireSnapshotsBefore("seeds", committed)
+    store.expireSnapshotsBefore("head", committed)
   }
 
   /** Post-run materialized summary (S17 analog: the reference pre-builds

@@ -162,4 +162,49 @@ object Similarity {
       .filter(col("rk") <= k)
       .select(col("query_id"), col("neighbor_id"), col("rk"), col("cos_r"))
   }
+
+  /**
+   * Multi-probe LSH ANN (VERDICT r3 item 8): [[lshTopK]] probes only the
+   * query's own bucket — its recall ceiling is the chance a true neighbor
+   * lands in the SAME bucket. Multi-probe additionally probes every bucket
+   * within Hamming radius `probeRadius` of the query signature (a near
+   * neighbor's signature differs in the few bits whose hyperplane margins
+   * are small), lifting recall without changing the join shape: the probe
+   * set explodes QUERY-side only (1 + bits [+ C(bits,2)] rows per query —
+   * queries are the small side by assumption), the corpus is still hit by a
+   * plain equality join on its one signature, and the exact re-rank runs
+   * over the deduplicated candidate union.
+   */
+  def lshTopKMultiProbe(queries: DataFrame, corpus: DataFrame, k: Int, bits: Int,
+      dims: Int, probeRadius: Int = 1,
+      idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
+    require(probeRadius >= 0 && probeRadius <= 2, "probeRadius 0..2 supported")
+    val qs = lshSignature(queries, bits, dims, idCol, vecCol)
+      .select(col(idCol).as("query_id"), asDouble(col(vecCol)).as("qv"), col("lsh_sig"))
+    val flip1 = s"transform(sequence(0, ${bits - 1}), b -> lsh_sig ^ shiftleft(1L, b))"
+    val flip2 = s"flatten(transform(sequence(0, ${bits - 2}), b1 -> " +
+      s"transform(sequence(b1 + 1, ${bits - 1}), b2 -> " +
+      "lsh_sig ^ shiftleft(1L, b1) ^ shiftleft(1L, b2))))"
+    val probeSet = probeRadius match {
+      case 0 => expr("array(lsh_sig)")
+      case 1 => expr(s"array_union(array(lsh_sig), $flip1)")
+      case 2 => expr(s"array_union(array_union(array(lsh_sig), $flip1), $flip2)")
+    }
+    val probed = qs.withColumn("probe_sig", explode(probeSet))
+    val cs = lshSignature(corpus, bits, dims, idCol, vecCol)
+      .select(col(idCol).as("neighbor_id"), asDouble(col(vecCol)).as("cv"),
+        col("lsh_sig").as("c_sig"))
+    probed.join(cs, col("probe_sig") === col("c_sig"))
+      .filter(col("query_id") =!= col("neighbor_id"))
+      // a candidate can match several probes of one query — dedup before the
+      // exact re-rank so row_number ranks distinct neighbors
+      .select(col("query_id"), col("qv"), col("neighbor_id"), col("cv"))
+      .dropDuplicates("query_id", "neighbor_id")
+      .withColumn("cos_r", round(cosine(col("qv"), col("cv")), 6))
+      .withColumn("rk", row_number().over(
+        Window.partitionBy(col("query_id"))
+          .orderBy(col("cos_r").desc, col("neighbor_id").asc)).cast("long"))
+      .filter(col("rk") <= k)
+      .select(col("query_id"), col("neighbor_id"), col("rk"), col("cos_r"))
+  }
 }

@@ -51,8 +51,11 @@ object ScalingProbe {
       // codegen, parser JIT, parquet decode) so the timed run measures the
       // steady state, not cold-JVM compilation
       graft.Bench.crawlBench(s, 50000L, cpus, 1, rep)
-      val (f, dt) = graft.Bench.crawlBench(s, n, cpus, 2, rep)
+      val (f, dt, phases) = graft.Bench.crawlBench(s, n, cpus, 2, rep)
       println(f"PROBE cpus=$cpus fetched=$f sec=$dt%.2f tp=${f / dt}%.0f")
+      // per-phase wall-second sums of the timed run — the decomposition the
+      // bench artifact embeds per local-cluster layout (VERDICT r3 item 1)
+      println("PROBE5 " + phases.map { case (k, v) => f"$k=$v%.2f" }.mkString(" "))
     }
     if (mode == "crawl") { s.stop(); return } // e2e crawl only (local-cluster runs)
 

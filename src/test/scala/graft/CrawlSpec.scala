@@ -455,6 +455,151 @@ class CrawlResilienceSpec extends org.scalatest.funsuite.AnyFunSuite {
   }
 }
 
+/** Per-host head table — sublinear scheduling (VERDICT r3 item 3): batches
+  * rank a bounded top-K-per-host head instead of scanning the full frontier,
+  * with results EXACTLY equal to full-frontier scheduling. */
+class HeadTableSpec extends org.scalatest.funsuite.AnyFunSuite {
+  lazy val spark = SparkTestSession.spark
+  import graft.crawl._
+  import graft.functions.gf
+  import spark.implicits._
+  private def tmp(): String = java.nio.file.Files.createTempDirectory("graft_head").toString
+
+  val N = 2048L
+  lazy val pagesDF = PagesGen.pages(spark, N, partitions = 4).toDF.persist()
+
+  /** Bench-style preloaded frontier: every page is already a frontier row
+    * (the 10^10-frontier model), so scheduling cost is frontier-dominated. */
+  private def preload = {
+    val wideSince = new java.sql.Timestamp(0L)
+    val wideEnd = new java.sql.Timestamp(PagesGen.BaseTsMillis + 86400000L)
+    pagesDF.select($"url",
+      gf.canonicalize_url($"url").as("url_canon"),
+      xxhash64(gf.canonicalize_url($"url")).as("url_hash"),
+      gf.url_host($"url").as("host"),
+      lit(0).as("depth"),
+      $"warc_ts".as("priority_ts"),
+      lit("pre").as("seed_id"),
+      lit(wideSince).as("since_ts"),
+      lit(wideEnd).as("end_ts"),
+      lit(-1L).as("discovered_batch"))
+  }
+
+  private def fetchKey(e: CrawlEngine) = e.fetched().get
+    .select("url_hash", "batch_id", "fetch_ordinal")
+    .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).sorted.toSeq
+  private def seenKey(e: CrawlEngine) =
+    e.seen().select("url_hash").collect().map(_.getLong(0)).sorted.toSeq
+  private def frontKey(e: CrawlEngine) =
+    e.frontier().select("url_hash").collect().map(_.getLong(0)).sorted.toSeq
+
+  test("scheduling from the head == scheduling from the full frontier (order + ordinals exact)") {
+    val cfgBase = CrawlConfig(defaultHostBudget = 3, shufflePartitions = 4,
+      maxDepth = 8, compactEvery = 3, bloomMinSeen = 1)
+    val a = new CrawlEngine(spark, pagesDF, tmp(), cfgBase.copy(headTable = true))
+    val b = new CrawlEngine(spark, pagesDF, tmp(), cfgBase)
+    a.initializeWithFrontier(preload); b.initializeWithFrontier(preload)
+    val msA = a.run(7); val msB = b.run(7)
+    assert(msA.map(_("scheduled")) == msB.map(_("scheduled")))
+    assert(fetchKey(a) == fetchKey(b), "head-table scheduling diverged from full-frontier scheduling")
+    assert(seenKey(a) == seenKey(b))
+    assert(frontKey(a) == frontKey(b))
+  }
+
+  test("scheduling reads are bounded by budgets: head rows <= hosts × budget × (compactEvery+1), not O(|frontier|)") {
+    val C = 3
+    val budget = 3
+    val dir = tmp()
+    val eng = new CrawlEngine(spark, pagesDF, dir,
+      CrawlConfig(defaultHostBudget = budget, shufflePartitions = 4,
+        maxDepth = 8, compactEvery = C, bloomMinSeen = 1, headTable = true))
+    eng.initializeWithFrontier(preload)
+    eng.run(5)
+    val frontierRows = eng.frontier().count()
+    assert(frontierRows > 1000, s"test premise: a big frontier (got $frontierRows)")
+    val nHosts = PagesGen.numHosts(N)
+    val bound = nHosts * budget * (C + 1)
+    // every persisted head version (the rank stage's scan input) is bounded
+    val versions = new java.io.File(s"$dir/head").listFiles().toSeq
+      .filter(_.getName.startsWith("v="))
+    assert(versions.nonEmpty)
+    versions.foreach { v =>
+      val rows = spark.read.parquet(v.toString).count()
+      assert(rows <= bound,
+        s"head ${v.getName} has $rows rows — exceeds the Σ budgets bound $bound " +
+          s"(frontier is $frontierRows rows)")
+    }
+  }
+
+  test("sharded ranking variant: head == full under (host, salt) politeness shards") {
+    val cfgBase = CrawlConfig(defaultHostBudget = 8, saltBuckets = 4,
+      shufflePartitions = 4, maxDepth = 8, compactEvery = 3,
+      bloomMinSeen = 1, shardedRanking = true)
+    val a = new CrawlEngine(spark, pagesDF, tmp(), cfgBase.copy(headTable = true))
+    val b = new CrawlEngine(spark, pagesDF, tmp(), cfgBase)
+    a.initializeWithFrontier(preload); b.initializeWithFrontier(preload)
+    a.run(5); b.run(5)
+    assert(fetchKey(a) == fetchKey(b), "sharded head scheduling diverged")
+    assert(frontKey(a) == frontKey(b))
+  }
+
+  test("rule change over pre-existing frontier: purgeRobotsBlocked restores head/full parity in one batch") {
+    val mega = "h0.example.test"
+    val cfgBase = CrawlConfig(defaultHostBudget = 3, shufflePartitions = 4,
+      maxDepth = 8, compactEvery = 3, bloomMinSeen = 1,
+      robotsDisallow = Seq((mega, "/u/")), robotsAllow = Seq((mega, "/u/1/")))
+    val a = new CrawlEngine(spark, pagesDF, tmp(), cfgBase.copy(headTable = true))
+    val b = new CrawlEngine(spark, pagesDF, tmp(), cfgBase)
+    // preloaded frontier rows the new rules block (the rule-change scenario)
+    a.initializeWithFrontier(preload); b.initializeWithFrontier(preload)
+    val pa = a.purgeRobotsBlocked(); val pb = b.purgeRobotsBlocked()
+    assert(pa > 0 && pa == pb, s"purge must drop the same blocked set ($pa vs $pb)")
+    val msA = a.run(6); val msB = b.run(6)
+    // steady state after the purge: no residual blocked candidates
+    assert(msA.map(_("robots_blocked")).sum == 0)
+    assert(msA.map(_("robots_blocked")) == msB.map(_("robots_blocked")))
+    assert(fetchKey(a) == fetchKey(b), "head scheduling diverged after a robots purge")
+    assert(frontKey(a) == frontKey(b))
+    assert(seenKey(a) == seenKey(b))
+    // the purge is idempotent
+    assert(a.purgeRobotsBlocked() == 0L)
+  }
+
+  test("without the purge, head candidate gating still never fetches a blocked url (defense in depth)") {
+    val mega = "h0.example.test"
+    val eng = new CrawlEngine(spark, pagesDF, tmp(),
+      CrawlConfig(defaultHostBudget = 3, shufflePartitions = 4,
+        maxDepth = 8, compactEvery = 3, bloomMinSeen = 1, headTable = true,
+        robotsDisallow = Seq((mega, "/u/")), robotsAllow = Seq((mega, "/u/1/"))))
+    eng.initializeWithFrontier(preload)
+    val ms = eng.run(3)
+    assert(ms.map(_("robots_blocked")).sum > 0, "head gating should purge incrementally")
+    val badFetch = eng.fetched().get
+      .filter($"host" === mega && !$"url_canon".startsWith(s"https://$mega/u/1/")).count()
+    assert(badFetch == 0, "a blocked url was fetched")
+  }
+
+  test("rotation rebuilds the head; resume picks it up (crawl-grown frontier)") {
+    def seeds(k: Int) = PagesGen.seedRows(N, k).map(Seed.tupled)
+    val cfgBase = CrawlConfig(defaultHostBudget = 3, shufflePartitions = 4,
+      maxDepth = 16, compactEvery = 3, bloomMinSeen = 1)
+    val dirA = tmp(); val dirB = tmp()
+    val a = new CrawlEngine(spark, pagesDF, dirA, cfgBase.copy(headTable = true))
+    val b = new CrawlEngine(spark, pagesDF, dirB, cfgBase)
+    a.initialize(seeds(6)); b.initialize(seeds(6))
+    a.run(3); b.run(3)
+    val newEnd = new java.sql.Timestamp(PagesGen.BaseTsMillis + 3600_000L)
+    a.rotateWindows(newEnd); b.rotateWindows(newEnd)
+    // resume in fresh engines (head read back from the store)
+    val a2 = new CrawlEngine(spark, pagesDF, dirA, cfgBase.copy(headTable = true))
+    val b2 = new CrawlEngine(spark, pagesDF, dirB, cfgBase)
+    a2.run(3); b2.run(3)
+    assert(fetchKey(a2) == fetchKey(b2), "post-rotation head scheduling diverged")
+    assert(seenKey(a2) == seenKey(b2))
+    assert(frontKey(a2) == frontKey(b2))
+  }
+}
+
 /** Wall-clock politeness pacing (VERDICT r3 item 2: the one stage a real
   * crawl always runs had zero coverage). The reference's behavioral contract
   * is its inter-fetch sleep cadence (weibo.py:2769-2778); here the contract
