@@ -363,8 +363,14 @@ object Bench {
     // schedules Σ budgets ≪ |frontier| rows) with and without the per-host
     // head table. The head run's per-batch rank reads O(Σ budgets) head rows
     // instead of window-ranking the full preloaded frontier.
+    // Reported as (seconds, rank-input rows): the head table's objective is
+    // bounding the per-batch SCHEDULING READ (O(Σ budgets) head rows instead
+    // of the full frontier) — the property that matters at a 10^10-row
+    // frontier. At local toy scale the read saving is smaller than the +1
+    // head-maintenance job per batch, so seconds alone would mis-read; the
+    // row counts carry the scaling story and the seconds keep it honest.
     val headJson = if (skipScaling) "" else {
-      def boundedCrawl(head: Boolean): Double = {
+      def boundedCrawl(head: Boolean): (Double, Long) = {
         val pages = corpus(spark, benchPages, bodyRepeat)
         val wideSince = new java.sql.Timestamp(0L)
         val wideEnd = new java.sql.Timestamp(PagesGen.BaseTsMillis + 86400000L)
@@ -378,25 +384,36 @@ object Bench {
             lit(wideSince).as("since_ts"), lit(wideEnd).as("end_ts"),
             lit(-1L).as("discovered_batch"))
         val stateDir = java.nio.file.Files.createTempDirectory(s"graft_head_$head").toString
+        // budget 16 × compactEvery 4 ⇒ head K = 80 rows/host vs ~512
+        // frontier rows/host — the politeness-bounded regime where the rank
+        // input actually shrinks (budgets ≈ frontier would make head ≡
+        // frontier and measure nothing)
         val eng = new CrawlEngine(spark, pages, stateDir, CrawlConfig(
-          defaultHostBudget = 500, defaultDelayMs = 0L,
-          maxDepth = 8, saltBuckets = 64, shufflePartitions = cpus * 2,
+          defaultHostBudget = 16, defaultDelayMs = 0L,
+          maxDepth = 8, saltBuckets = 1, shufflePartitions = cpus * 2,
           bloomMinSeen = 100000, broadcastScheduled = true,
-          detailedMetrics = false, shardedRanking = true, corpusUnique = true,
-          compactEvery = 16, headTable = head))
+          detailedMetrics = false, corpusUnique = true,
+          compactEvery = 4, headTable = head))
         eng.initializeWithFrontier(preload)
         val t0 = System.nanoTime()
         eng.run(6)
         val dt = (System.nanoTime() - t0) / 1e9
+        // the rank stage's scan input: latest head snapshot vs full frontier
+        val rankRows =
+          if (head)
+            eng.store.latestVersion("head", eng.store.committedBatch)
+              .map(v => eng.store.read("head", v, eng.frontier().limit(0)).count())
+              .getOrElse(0L)
+          else eng.frontier().count()
         try graft.crawl.StateStore.deleteRecursively(java.nio.file.Paths.get(stateDir))
         catch { case _: Throwable => }
-        dt
+        (dt, rankRows)
       }
-      val full = boundedCrawl(head = false)
-      val headSec = boundedCrawl(head = true)
+      val (fullSec, fullRows) = boundedCrawl(head = false)
+      val (headSec, headRows) = boundedCrawl(head = true)
       val r1l = (x: Double) => math.round(x * 10) / 10.0
-      s""","head_sched":{"sec_full":${r1l(full)},"sec_head":${r1l(headSec)},""" +
-        s""""speedup":${math.round(full / headSec * 100) / 100.0}}"""
+      s""","head_sched":{"sec_full":${r1l(fullSec)},"sec_head":${r1l(headSec)},""" +
+        s""""rank_rows_full":$fullRows,"rank_rows_head":$headRows}"""
     }
     // pacing-machinery overhead (VERDICT r3 item 2's bench line): the full
     // crawl with realTimePacing on but a ZERO delay budget — isolates the

@@ -61,7 +61,14 @@ case class Seed(seed_id: String, root_url: String,
  * @param probePushdownMaxKeys max probe keys pushed as literal predicates
  *                           into the range-clustered state bases; larger
  *                           probe sets fall back to the broadcast-semi full
- *                           scan (0 disables pushdown)
+ *                           scan (0 disables pushdown). HARD CEILING ~1024:
+ *                           Spark translates the IN-set into an OR-chain
+ *                           whose parquet row-group filter evaluation
+ *                           recurses once per key — ≥2048 keys overflow a
+ *                           default task stack (measured, KeyProbeSmoke;
+ *                           the r3 default of 4096 crashed the first real
+ *                           politeness-bounded crawl that collected that
+ *                           many link keys)
  * @param bloomRecentCap     max per-batch bloom delta blobs held before an
  *                           out-of-cadence fold into a fresh snapshot —
  *                           bounds probe cost / driver memory / task-closure
@@ -94,7 +101,7 @@ case class CrawlConfig(
     broadcastScheduled: Boolean = false,
     compactEvery: Int = 8,
     corpusUnique: Boolean = false,
-    probePushdownMaxKeys: Int = 4096,
+    probePushdownMaxKeys: Int = 1024,
     bloomRecentCap: Int = 16,
     headTable: Boolean = false)
 

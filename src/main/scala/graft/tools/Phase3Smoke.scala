@@ -1,0 +1,66 @@
+package graft.tools
+
+import graft.crawl.{CrawlConfig, CrawlEngine, PagesGen}
+import graft.functions.gf
+import org.apache.spark.sql.SparkSession
+
+/** Scratch smoke for Bench phase-3 extras (head probe / paced probe /
+  * simhash64 line) at tiny scale — isolates failures the buffered bench
+  * output hides. Not part of the bench contract. */
+object Phase3Smoke {
+  def main(args: Array[String]): Unit = {
+    val spark = SparkSession.builder().master("local[8]")
+      .config("spark.sql.shuffle.partitions", "8")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    val sfDir = "/root/testdata/sf0.001"
+    val benchPages = 60000L
+
+    println("=== simhash64 line ===")
+    graft.pipeline.Dedup.simhashNearDups64(
+      spark.read.parquet(s"$sfDir/documents.parquet")
+        .filter(org.apache.spark.sql.functions.col("doc_id") < 1000), maxDist = 3).count()
+    println("simhash64 OK")
+
+    println("=== paced probe ===")
+    val (uf, ud, _) = graft.Bench.crawlBench(spark, benchPages, 8, 2, 8)
+    val (pf, pd, _) = graft.Bench.crawlBench(spark, benchPages, 8, 2, 8, paced = true)
+    println(s"paced OK unpaced=${uf / ud} paced=${pf / pd}")
+
+    println("=== head probe ===")
+    def boundedCrawl(head: Boolean): Double = {
+      val pages = graft.Bench.corpus(spark, benchPages, 8)
+      val wideSince = new java.sql.Timestamp(0L)
+      val wideEnd = new java.sql.Timestamp(PagesGen.BaseTsMillis + 86400000L)
+      import org.apache.spark.sql.functions.{col, pmod, xxhash64, lit}
+      val preload = pages
+        .filter(pmod(xxhash64(col("url")), lit(2L)) === 0)
+        .select(col("url"), gf.canonicalize_url(col("url")).as("url_canon"),
+          xxhash64(gf.canonicalize_url(col("url"))).as("url_hash"),
+          gf.url_host(col("url")).as("host"), lit(0).as("depth"),
+          col("warc_ts").as("priority_ts"), lit("bench").as("seed_id"),
+          lit(wideSince).as("since_ts"), lit(wideEnd).as("end_ts"),
+          lit(-1L).as("discovered_batch"))
+      val stateDir = java.nio.file.Files.createTempDirectory(s"graft_head_$head").toString
+      val eng = new CrawlEngine(spark, pages, stateDir, CrawlConfig(
+        defaultHostBudget = 16, defaultDelayMs = 0L,
+        maxDepth = 8, saltBuckets = 1, shufflePartitions = 16,
+        bloomMinSeen = 100000, broadcastScheduled = true,
+        detailedMetrics = false, corpusUnique = true,
+        compactEvery = 4, headTable = head))
+      eng.initializeWithFrontier(preload)
+      val t0 = System.nanoTime()
+      eng.run(6)
+      val dt = (System.nanoTime() - t0) / 1e9
+      try graft.crawl.StateStore.deleteRecursively(java.nio.file.Paths.get(stateDir))
+      catch { case _: Throwable => }
+      dt
+    }
+    val full = boundedCrawl(head = false)
+    val headSec = boundedCrawl(head = true)
+    println(s"head OK full=$full head=$headSec")
+    spark.stop()
+  }
+}
