@@ -173,14 +173,20 @@ class CrawlEngine(
 
   /** pages keyed by canonical url — at cluster scale this is the Iceberg
     * table BUCKETED by the join key so the per-batch fetch join never
-    * shuffles the big side. cachePages simulates that locally: repartition
+    * shuffles the big side. A corpus that ALREADY carries a url_canon
+    * column (the pre-canonicalized bucketed-table contract — e.g. a parquet
+    * table `CLUSTERED BY (url_canon)`) is used as-is, so its bucket
+    * distribution survives into the fetch join and only the batch-sized
+    * scheduled side shuffles (measured: the only fetch shape whose
+    * per-batch cost is flat in |corpus| AND free of the serial driver
+    * broadcast build). cachePages simulates bucketing locally: repartition
     * once by url_canon and persist — the cached relation keeps its
-    * HashPartitioning, so every batch's join only shuffles the (much
-    * smaller) scheduled side. */
+    * HashPartitioning. */
   private lazy val pagesByCanon: DataFrame = {
-    val df = pages
-      .withColumn("url_canon", gf.canonicalize_url($"url"))
-      .withColumnRenamed("url", "page_url")
+    val withCanon =
+      if (pages.columns.contains("url_canon")) pages
+      else pages.withColumn("url_canon", gf.canonicalize_url($"url"))
+    val df = withCanon.withColumnRenamed("url", "page_url")
     if (cfg.cachePages)
       df.repartition(cfg.shufflePartitions, $"url_canon")
         .sortWithinPartitions($"url_canon")

@@ -46,6 +46,21 @@ object ScalingProbe {
     }
     import org.apache.spark.sql.functions._
     import s.implicits._
+    if (mode == "crawlb") {
+      // bucketed-corpus fetch (the production Iceberg-table shape): the
+      // corpus table is CLUSTERED BY url_canon, so the fetch join reuses
+      // its bucket distribution — only the scheduled side shuffles, and no
+      // serial driver broadcast build exists. Shuffled-hash join preferred:
+      // the build side is the batch-sized scheduled partition, which avoids
+      // SMJ's per-partition sort of the (much larger) page rows.
+      s.conf.set("spark.sql.join.preferSortMergeJoin", "false")
+      graft.Bench.crawlBench(s, 50000L, cpus, 1, rep) // warm hot paths
+      val pages = graft.Bench.bucketedCorpusTable(s, n, rep)
+      val (f, dt, phases) = graft.Bench.crawlBenchWith(s, pages, cpus, 2, broadcastSched = false)
+      println(f"PROBE cpus=$cpus fetched=$f sec=$dt%.2f tp=${f / dt}%.0f")
+      println("PROBE5 " + phases.map { case (k, v) => f"$k=$v%.2f" }.mkString(" "))
+      s.stop(); return
+    }
     if (mode == "all" || mode == "crawl") {
       // untimed warmup: a small crawl compiles the hot paths (whole-stage
       // codegen, parser JIT, parquet decode) so the timed run measures the
@@ -82,7 +97,10 @@ object ScalingProbe {
 
     // fetch+parse stage in isolation (corpus scan → fused parse → agg):
     // the per-page compute path without scheduling/commit orchestration.
-    // Runs in every mode so the multi-process control covers it too.
+    // Runs in every mode so the multi-process control covers it too; mode
+    // "stage" runs ONLY this (the local-cluster stage control — the same
+    // executors/driver/broadcast machinery as the e2e lc crawl, minus the
+    // state writes and the product sink).
     val corpusDf = graft.Bench.corpus(s, n, rep)
     corpusDf.count() // warm file listing
     val p2 = (1 to 2).map { _ =>
@@ -92,6 +110,7 @@ object ScalingProbe {
       (System.nanoTime() - t0) / 1e9
     }.min
     println(f"PROBE2 cpus=$cpus pages=$n sec=$p2%.2f tp=${n / p2}%.0f")
+    if (mode == "stage") { s.stop(); return }
 
     // parse compute alone: realistic 30KB pages, memory-resident input
     // (no disk, no shuffle) — the per-core parser scaling ceiling

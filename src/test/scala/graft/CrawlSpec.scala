@@ -245,6 +245,20 @@ class CrawlSpec extends AnyFunSuite {
     assert(eng.frontier().count() == 0)
   }
 
+  test("pre-canonicalized corpus (bucketed-table contract): crawl results identical to computed-canon path") {
+    import graft.functions.gf
+    val pagesCanon = pagesDF.withColumn("url_canon", gf.canonicalize_url($"url"))
+    val cfg = CrawlConfig(defaultHostBudget = 4, shufflePartitions = 4)
+    val a = new CrawlEngine(spark, pagesCanon, tmp(), cfg)
+    val b = new CrawlEngine(spark, pagesDF, tmp(), cfg)
+    a.initialize(seeds(6)); b.initialize(seeds(6))
+    a.run(3); b.run(3)
+    def k(e: CrawlEngine) = e.fetched().get.select("url_hash", "batch_id", "fetch_ordinal")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).sorted.toSeq
+    assert(k(a) == k(b), "pre-canonicalized corpus diverged from the computed-canon path")
+    assert(a.seen().count() == b.seen().count())
+  }
+
   test("seed window: since_ts in the future fetches nothing for that seed (weibo.py:2735-2737)") {
     val future = new java.sql.Timestamp(PagesGen.BaseTsMillis + 86400_000L)
     val farFuture = new java.sql.Timestamp(PagesGen.BaseTsMillis + 2 * 86400_000L)
