@@ -436,6 +436,7 @@ object Bench {
         s""""parse_efficiency":${r3(effParse)},"multiproc_efficiency":${r3(effMp)},""" +
         s""""lc_tp_1x8":${tpsJson(tps1)},"lc_tp_4x8":${tpsJson(tps4)},""" +
         s""""lc_eff_median":${r3(lcEffMed)},"lcb_eff":${r3(lcbEff)},""" +
+        s""""lcb_tp":[${r1(lcbT1)},${r1(lcbT4)}],""" +
         s""""crawl_localcluster_efficiency":${r3(math.max(lcEffMed, lcbEff))},""" +
         s""""lc_fix":[${r1(lcFix1)},${r1(lcFix4)}],"lc_stage_eff":${r3(lcStageEff)},""" +
         s""""sink_scaling":${r3(sinkScaling)}}"""
