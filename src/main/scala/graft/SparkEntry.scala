@@ -571,8 +571,11 @@ object SparkEntry {
         col("n_outlinks").cast("long").as("n_outlinks"))
     }),
 
+    // q51 runs with the head table ON: under non-binding budgets the head
+    // equals the frontier, so the DuckDB oracle stays exact while the
+    // head-scheduling path itself passes through the external hash gate
     "q51_crawl_frontier" -> ((s, dir) => {
-      val eng = crawlOracleEngine(s, dir)
+      val eng = crawlOracleEngine(s, dir, headTable = true)
       eng.run(2)
       eng.frontier().select(col("url_canon"), col("host"),
         col("depth").cast("long").as("depth"), col("seed_id"))
@@ -704,12 +707,13 @@ object SparkEntry {
     (System.nanoTime() - t0) / 1e9
   }
 
-  private def crawlOracleEngine(s: SparkSession, dir: String): CrawlEngine = {
+  private def crawlOracleEngine(s: SparkSession, dir: String,
+      headTable: Boolean = false): CrawlEngine = {
     val st = java.nio.file.Files.createTempDirectory("graft_crawl_oracle").toString
     val corpus = crawlOracleCorpusCached(s, dir)
     val eng = new CrawlEngine(s, corpus, st,
       CrawlConfig(defaultHostBudget = 1000000, maxDepth = 64, shufflePartitions = 8,
-        detailedMetrics = false))
+        detailedMetrics = false, headTable = headTable))
     val since = new java.sql.Timestamp((OracleBaseSec - 12600L) * 1000)
     val end = new java.sql.Timestamp((OracleBaseSec + 3600L) * 1000)
     eng.initialize((0L until 3L).map(u => Seed(s"seed$u",

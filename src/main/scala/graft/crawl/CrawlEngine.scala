@@ -264,17 +264,30 @@ class CrawlEngine(
       cfg.robotsAllow.map { case (h, p) => (h, p, true) }
   private def hasRobots: Boolean = robotsRuleRows.nonEmpty
 
+  /** any rule using RFC 9309 §2.2.3 special characters (`*` wildcard /
+    * trailing `$` anchor) switches the match predicate to the shared
+    * anchored-regex translation; plain prefix rules keep the cheaper
+    * startsWith plan. */
+  private lazy val robotsNeedsRegex: Boolean =
+    robotsRuleRows.exists { case (_, p, _) => p.contains("*") || p.endsWith("$") }
+
   /** Rows of `df` (frontier-shaped: url_hash/url_canon/host) BLOCKED by the
     * robots rules under RFC 9309 §2.2.2 precedence: per url, the longest
-    * matching prefix rule wins, allow wins an equal-length tie, no match ⇒
-    * allowed. The rule dim is config-small ⇒ broadcast; the prefix match is
-    * a theta join (BroadcastNestedLoop — fine against a dim of rule rows);
-    * the verdict rank windows only over MATCHED rows (⊆ df × few rules). */
+    * matching rule (by rule octet length) wins, allow wins an equal-length
+    * tie, no match ⇒ allowed. Rules may use `*` wildcards and a trailing
+    * `$` anchor (§2.2.3) — matched via the same anchored regex
+    * [[Robots.ruleRegex]] the driver-side evaluator uses. The rule dim is
+    * config-small ⇒ broadcast; the match is a theta join
+    * (BroadcastNestedLoop — fine against a dim of rule rows); the verdict
+    * rank windows only over MATCHED rows (⊆ df × few rules). */
   private def robotsBlockedOf(df: DataFrame): DataFrame = {
-    val rules = broadcast(robotsRuleRows.toDF("r_host", "r_prefix", "r_allow"))
-    df.join(rules,
-        df("host") === $"r_host" &&
-          expr("parse_url(url_canon, 'PATH')").startsWith($"r_prefix"))
+    val rules = broadcast(robotsRuleRows
+      .map { case (h, p, a) => (h, p, Robots.ruleRegex(p), a) }
+      .toDF("r_host", "r_prefix", "r_regex", "r_allow"))
+    val matches =
+      if (robotsNeedsRegex) expr("parse_url(url_canon, 'PATH') RLIKE r_regex")
+      else expr("parse_url(url_canon, 'PATH')").startsWith($"r_prefix")
+    df.join(rules, df("host") === $"r_host" && matches)
       .withColumn("_rr", row_number().over(
         Window.partitionBy($"url_hash")
           .orderBy(length($"r_prefix").desc, $"r_allow".desc)))

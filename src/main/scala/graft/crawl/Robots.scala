@@ -15,10 +15,13 @@ package graft.crawl
  *    wins; on an allow/disallow tie at equal length, allow wins. A path
  *    matching no rule is allowed.
  *
- * Out of scope (declared): `*` wildcards and `$` end-anchors inside rule
- * paths are treated as literal characters, and `Crawl-delay` is not parsed —
- * the engine's politeness budgets are per-host config (CrawlConfig), not
- * robots-derived.
+ * Rule paths support RFC 9309 §2.2.3 special characters: `*` matches any
+ * character sequence and a trailing `$` anchors the end of the path; both
+ * [[isAllowed]] and the engine's distributed gating translate rules to the
+ * same anchored regexes. Precedence length is the rule's octet length as
+ * written (the RFC's "most specific = longest" measure). Out of scope
+ * (declared): `Crawl-delay` is not parsed — the engine's politeness budgets
+ * are per-host config (CrawlConfig), not robots-derived.
  */
 object Robots {
 
@@ -67,17 +70,35 @@ object Robots {
   def disallowPrefixes(robotsTxt: String, agent: String = "*"): Seq[String] =
     rules(robotsTxt, agent).collect { case (p, false) => p }
 
+  /** A rule path → the anchored Java/Spark-compatible regex both matchers
+    * share: literals quoted, `*` → `.*`, one trailing `$` → end anchor,
+    * match anchored at the path start (prefix semantics otherwise). */
+  def ruleRegex(rulePath: String): String = {
+    val (body, anchored) =
+      if (rulePath.endsWith("$")) (rulePath.dropRight(1), true)
+      else (rulePath, false)
+    val quoted = body.split("\\*", -1).map(seg =>
+      if (seg.isEmpty) "" else java.util.regex.Pattern.quote(seg)).mkString(".*")
+    "^" + quoted + (if (anchored) "$" else "")
+  }
+
+  private def ruleMatches(rulePath: String, path: String): Boolean =
+    if (rulePath.indexOf('*') < 0 && !rulePath.endsWith("$")) path.startsWith(rulePath)
+    else java.util.regex.Pattern.compile(ruleRegex(rulePath)).matcher(path).find()
+
   /** RFC 9309 §2.2.2 longest-match evaluation of a path against a rule set:
-    * most specific (longest) matching prefix wins; allow wins a same-length
-    * tie; no match ⇒ allowed. The driver-side mirror of the engine's
-    * distributed gating predicate (CrawlEngine.robotsBlockedOf). */
+    * most specific (longest, by rule octet length) matching rule wins;
+    * allow wins a same-length tie; no match ⇒ allowed. Rules may use `*`
+    * wildcards and a trailing `$` anchor (§2.2.3). The driver-side mirror
+    * of the engine's distributed gating predicate
+    * (CrawlEngine.robotsBlockedOf). */
   def isAllowed(ruleSet: Seq[(String, Boolean)], path: String): Boolean = {
     var bestLen = -1
     var bestAllow = true
-    ruleSet.foreach { case (prefix, allow) =>
-      if (path.startsWith(prefix) &&
-          (prefix.length > bestLen || (prefix.length == bestLen && allow))) {
-        bestLen = prefix.length
+    ruleSet.foreach { case (rulePath, allow) =>
+      if (ruleMatches(rulePath, path) &&
+          (rulePath.length > bestLen || (rulePath.length == bestLen && allow))) {
+        bestLen = rulePath.length
         bestAllow = allow
       }
     }

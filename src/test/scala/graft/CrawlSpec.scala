@@ -245,6 +245,36 @@ class CrawlSpec extends AnyFunSuite {
     assert(eng.frontier().count() == 0)
   }
 
+  test("robots wildcard rules gate the crawl end-to-end (RFC 9309 §2.2.3)") {
+    val h = "rw.example.test"
+    val base = PagesGen.BaseTsMillis
+    def mk(url: String, ts: Long, links: Seq[String]) = {
+      val html = links.map(l => s"""<a href="$l">x</a>""").mkString + "body"
+      Page(url, new java.sql.Timestamp(ts), html.getBytes("UTF-8"),
+        TextExtract.extractText(html), "en")
+    }
+    def u(uid: Int, p: Int) = s"https://$h/u/$uid/p/$p"
+    // disallow /u/*/p/1 (wildcard over the uid segment): p0 and p2 crawl,
+    // every p1 is blocked for BOTH users — paging continues through links
+    // found on p0 (p0 links p1 AND p2 directly here)
+    val pages = Seq(
+      mk(u(1, 0), base - 1000, Seq(u(1, 1), u(1, 2))),
+      mk(u(1, 1), base - 2000, Nil),
+      mk(u(1, 2), base - 3000, Nil),
+      mk(u(2, 0), base - 1500, Seq(u(2, 1))),
+      mk(u(2, 1), base - 2500, Nil)).toDF
+    val eng = new CrawlEngine(spark, pages, tmp(),
+      CrawlConfig(defaultHostBudget = 8, maxDepth = 8, shufflePartitions = 2,
+        robotsDisallow = Seq((h, "/u/*/p/1$"))))
+    val since = new java.sql.Timestamp(base - 86400_000L)
+    val end = new java.sql.Timestamp(base)
+    eng.initialize(Seq(Seed("s1", u(1, 0), since, end), Seed("s2", u(2, 0), since, end)))
+    eng.run(4)
+    val fetched = eng.fetched().get.select("url_canon").collect().map(_.getString(0)).toSet
+    assert(fetched == Set(u(1, 0), u(1, 2), u(2, 0)),
+      s"wildcard rule mis-gated: $fetched")
+  }
+
   test("pre-canonicalized corpus (bucketed-table contract): crawl results identical to computed-canon path") {
     import graft.functions.gf
     val pagesCanon = pagesDF.withColumn("url_canon", gf.canonicalize_url($"url"))
@@ -404,6 +434,26 @@ class RobotsSpec extends org.scalatest.funsuite.AnyFunSuite {
     val (dis, allow) = Robots.toRulePair(Seq(("h.test", txtAllow)))
     assert(dis == Seq(("h.test", "/u/"), ("h.test", "/open")))
     assert(allow == Seq(("h.test", "/u/pub/"), ("h.test", "/open")))
+  }
+
+  test("wildcard * and end-anchor $ rules (RFC 9309 §2.2.3)") {
+    // * matches any sequence
+    val rs1 = Seq(("/u/*/secret", false))
+    assert(!Robots.isAllowed(rs1, "/u/1/secret"))
+    assert(!Robots.isAllowed(rs1, "/u/a/b/secret-file"))
+    assert(Robots.isAllowed(rs1, "/u/1/open"))
+    // trailing $ anchors the end
+    val rs2 = Seq(("/*.pdf$", false))
+    assert(!Robots.isAllowed(rs2, "/doc/x.pdf"))
+    assert(Robots.isAllowed(rs2, "/doc/x.pdf.html"))
+    // literal regex metacharacters in rules stay literal
+    val rs3 = Seq(("/a+b(c)", false))
+    assert(!Robots.isAllowed(rs3, "/a+b(c)/d"))
+    assert(Robots.isAllowed(rs3, "/aab(c)"))
+    // wildcard precedence by rule octet length: longer allow carve-out wins
+    val rs4 = Seq(("/dl/*", false), ("/dl/*/free/", true))
+    assert(!Robots.isAllowed(rs4, "/dl/x/paid/f"))
+    assert(Robots.isAllowed(rs4, "/dl/x/free/f"))
   }
 }
 
