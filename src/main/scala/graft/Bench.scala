@@ -95,17 +95,18 @@ object Bench {
       paced = paced,
       broadcastSched = !sys.env.get("GRAFT_BENCH_BCAST").contains("0"))
 
-  /** crawlBench over an explicit corpus DataFrame (plain or bucketed table).
-    * A corpus that already carries url_canon is used as-is by the engine —
-    * the bucketed table's distribution then survives into the fetch join. */
-  def crawlBenchWith(spark: SparkSession, pages: DataFrame, cpus: Int, batches: Int,
-      paced: Boolean = false, broadcastSched: Boolean = true): (Long, Double, Map[String, Double]) = {
+  /** The bench-standard preloaded frontier: half the corpus as depth-0 rows
+    * under a wide window (the 10^10-frontier "already full" model). ONE
+    * shared builder (r4 self-review: three hand-synced copies had already
+    * drifted on the host derivation) — host comes from the canonical url,
+    * the politeness key's authoritative spelling. */
+  def preloadFrontier(pages: DataFrame): DataFrame = {
     val canon =
       if (pages.columns.contains("url_canon")) col("url_canon")
       else gf.canonicalize_url(col("url"))
     val wideSince = new java.sql.Timestamp(0L)
     val wideEnd = new java.sql.Timestamp(PagesGen.BaseTsMillis + 86400000L)
-    val preload = pages
+    pages
       .filter(pmod(xxhash64(col("url")), lit(2L)) === 0)
       .select(col("url"),
         canon.as("url_canon"),
@@ -117,6 +118,14 @@ object Bench {
         lit(wideSince).as("since_ts"),
         lit(wideEnd).as("end_ts"),
         lit(-1L).as("discovered_batch"))
+  }
+
+  /** crawlBench over an explicit corpus DataFrame (plain or bucketed table).
+    * A corpus that already carries url_canon is used as-is by the engine —
+    * the bucketed table's distribution then survives into the fetch join. */
+  def crawlBenchWith(spark: SparkSession, pages: DataFrame, cpus: Int, batches: Int,
+      paced: Boolean = false, broadcastSched: Boolean = true): (Long, Double, Map[String, Double]) = {
+    val preload = preloadFrontier(pages)
     val stateDir = java.nio.file.Files.createTempDirectory(s"graft_bench_$cpus").toString
     val eng = new CrawlEngine(spark, pages, stateDir, CrawlConfig(
       defaultHostBudget = 2000000, defaultDelayMs = 0L,
@@ -480,17 +489,7 @@ object Bench {
     val headJson = if (skipScaling) "" else {
       def boundedCrawl(head: Boolean): (Double, Long) = {
         val pages = corpus(spark, benchPages, bodyRepeat)
-        val wideSince = new java.sql.Timestamp(0L)
-        val wideEnd = new java.sql.Timestamp(PagesGen.BaseTsMillis + 86400000L)
-        import org.apache.spark.sql.functions.{col, pmod, xxhash64, lit}
-        val preload = pages
-          .filter(pmod(xxhash64(col("url")), lit(2L)) === 0)
-          .select(col("url"), gf.canonicalize_url(col("url")).as("url_canon"),
-            xxhash64(gf.canonicalize_url(col("url"))).as("url_hash"),
-            gf.url_host(col("url")).as("host"), lit(0).as("depth"),
-            col("warc_ts").as("priority_ts"), lit("bench").as("seed_id"),
-            lit(wideSince).as("since_ts"), lit(wideEnd).as("end_ts"),
-            lit(-1L).as("discovered_batch"))
+        val preload = preloadFrontier(pages)
         val stateDir = java.nio.file.Files.createTempDirectory(s"graft_head_$head").toString
         // budget 16 × compactEvery 4 ⇒ head K = 80 rows/host vs ~512
         // frontier rows/host — the politeness-bounded regime where the rank

@@ -684,15 +684,20 @@ object SparkEntry {
     * later call (VERDICT r3 item 5: deriving it inside q50's timed path made
     * bench deltas compare a crawl+derivation composite against r2's plain
     * crawl). Values are a pure function of the events table, so the parquet
-    * round-trip changes nothing the oracle can see; bump the `v` tag when
-    * the derivation logic changes. Call [[prepareFixtures]] to pay the
-    * derivation outside a timed section. */
+    * round-trip changes nothing the oracle can see. The cache key embeds
+    * the SEMANTIC HASH of the derivation plan, so any change to the
+    * deriving logic self-invalidates the cache (r4 self-review: a
+    * hand-bumped version tag would let a stale fixture silently poison the
+    * oracle). Call [[prepareFixtures]] to pay the derivation outside a
+    * timed section. */
   private def crawlOracleCorpusCached(s: SparkSession, dir: String): DataFrame = {
+    val derivation = crawlOracleCorpus(s, dir)
+    val fp = Integer.toHexString(org.apache.spark.sql.graftbridge.planHash(derivation))
     val tag = dir.replaceAll("[^A-Za-z0-9._-]", "_")
-    val path = s"/tmp/graft_q50_corpus_v1_${tag}_u$OracleU"
+    val path = s"/tmp/graft_q50_corpus_${tag}_u${OracleU}_$fp"
     val marker = new java.io.File(path, "_GRAFT_DONE")
     if (!marker.exists()) {
-      crawlOracleCorpus(s, dir).write.mode("overwrite").parquet(path)
+      derivation.write.mode("overwrite").parquet(path)
       marker.createNewFile()
     }
     s.read.parquet(path)

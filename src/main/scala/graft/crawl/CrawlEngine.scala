@@ -264,35 +264,26 @@ class CrawlEngine(
       cfg.robotsAllow.map { case (h, p) => (h, p, true) }
   private def hasRobots: Boolean = robotsRuleRows.nonEmpty
 
-  /** any rule using RFC 9309 §2.2.3 special characters (`*` wildcard /
-    * trailing `$` anchor) switches the match predicate to the shared
-    * anchored-regex translation; plain prefix rules keep the cheaper
-    * startsWith plan. */
-  private lazy val robotsNeedsRegex: Boolean =
-    robotsRuleRows.exists { case (_, p, _) => p.contains("*") || p.endsWith("$") }
-
   /** Rows of `df` (frontier-shaped: url_hash/url_canon/host) BLOCKED by the
     * robots rules under RFC 9309 §2.2.2 precedence: per url, the longest
     * matching rule (by rule octet length) wins, allow wins an equal-length
     * tie, no match ⇒ allowed. Rules may use `*` wildcards and a trailing
-    * `$` anchor (§2.2.3) — matched via the same anchored regex
-    * [[Robots.ruleRegex]] the driver-side evaluator uses. The rule dim is
-    * config-small ⇒ broadcast; the match is a theta join
-    * (BroadcastNestedLoop — fine against a dim of rule rows); the verdict
-    * rank windows only over MATCHED rows (⊆ df × few rules). */
+    * `$` anchor (§2.2.3), and are matched against PATH?QUERY (the RFC's
+    * comparison target — a `$`-anchored rule must not match a url that
+    * continues with a query, and query-targeting wildcard rules of the
+    * "slash-star-?sessionid=" shape must be able to match). One codegen'd [[RobotsBlocked]]
+    * filter per row — config-small rules ride the task closure with
+    * per-task-compiled matchers; no join, no rank window, no per-row regex
+    * compilation (the r4 self-review caught RLIKE-on-a-column recompiling
+    * per (row, rule) pair in the previous join shape). */
   private def robotsBlockedOf(df: DataFrame): DataFrame = {
-    val rules = broadcast(robotsRuleRows
-      .map { case (h, p, a) => (h, p, Robots.ruleRegex(p), a) }
-      .toDF("r_host", "r_prefix", "r_regex", "r_allow"))
-    val matches =
-      if (robotsNeedsRegex) expr("parse_url(url_canon, 'PATH') RLIKE r_regex")
-      else expr("parse_url(url_canon, 'PATH')").startsWith($"r_prefix")
-    df.join(rules, df("host") === $"r_host" && matches)
-      .withColumn("_rr", row_number().over(
-        Window.partitionBy($"url_hash")
-          .orderBy(length($"r_prefix").desc, $"r_allow".desc)))
-      .filter($"_rr" === 1 && !$"r_allow")
-      .select(df.columns.toIndexedSeq.map(df(_)): _*)
+    val pathQuery = expr(
+      "concat(parse_url(url_canon, 'PATH'), " +
+        "CASE WHEN parse_url(url_canon, 'QUERY') IS NULL THEN '' " +
+        "ELSE concat('?', parse_url(url_canon, 'QUERY')) END)")
+    df.filter(org.apache.spark.sql.graftbridge.toColumn(RobotsBlocked(robotsRuleRows,
+      org.apache.spark.sql.graftbridge.toExpression($"host"),
+      org.apache.spark.sql.graftbridge.toExpression(pathQuery))))
   }
 
   /** running |seen| — avoids a count job per batch; exact because every
@@ -560,14 +551,21 @@ class CrawlEngine(
   private val timing = sys.env.contains("GRAFT_TIMING")
   /** cumulative per-phase wall seconds across all batches — always
     * maintained (one map update per phase per batch) so bench artifacts can
-    * embed the phase decomposition without the print-noise env flag. */
+    * embed the phase decomposition without the print-noise env flag.
+    * SYNCHRONIZED: the concurrent delta-commit futures call timed() from
+    * pool threads — an unsynchronized map here silently undercounted
+    * exactly the write phases the scaling artifact decomposes (r4
+    * self-review finding). */
   private val phaseTotals = scala.collection.mutable.LinkedHashMap[String, Double]()
-  def timingTotals: Map[String, Double] = phaseTotals.toMap
+  def timingTotals: Map[String, Double] =
+    phaseTotals.synchronized { phaseTotals.toMap }
   private def timed[T](label: String)(f: => T): T = {
     val t0 = System.nanoTime()
     val r = f
     val dt = (System.nanoTime() - t0) / 1e9
-    phaseTotals(label) = phaseTotals.getOrElse(label, 0.0) + dt
+    phaseTotals.synchronized {
+      phaseTotals(label) = phaseTotals.getOrElse(label, 0.0) + dt
+    }
     if (timing) println(f"[timing] $label%-22s $dt%7.2f s")
     r
   }

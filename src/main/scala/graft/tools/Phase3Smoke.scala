@@ -32,17 +32,7 @@ object Phase3Smoke {
     println("=== head probe ===")
     def boundedCrawl(head: Boolean): Double = {
       val pages = graft.Bench.corpus(spark, benchPages, 8)
-      val wideSince = new java.sql.Timestamp(0L)
-      val wideEnd = new java.sql.Timestamp(PagesGen.BaseTsMillis + 86400000L)
-      import org.apache.spark.sql.functions.{col, pmod, xxhash64, lit}
-      val preload = pages
-        .filter(pmod(xxhash64(col("url")), lit(2L)) === 0)
-        .select(col("url"), gf.canonicalize_url(col("url")).as("url_canon"),
-          xxhash64(gf.canonicalize_url(col("url"))).as("url_hash"),
-          gf.url_host(col("url")).as("host"), lit(0).as("depth"),
-          col("warc_ts").as("priority_ts"), lit("bench").as("seed_id"),
-          lit(wideSince).as("since_ts"), lit(wideEnd).as("end_ts"),
-          lit(-1L).as("discovered_batch"))
+      val preload = graft.Bench.preloadFrontier(pages)
       val stateDir = java.nio.file.Files.createTempDirectory(s"graft_head_$head").toString
       val eng = new CrawlEngine(spark, pages, stateDir, CrawlConfig(
         defaultHostBudget = 16, defaultDelayMs = 0L,

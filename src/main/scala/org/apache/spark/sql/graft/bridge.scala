@@ -39,6 +39,12 @@ object graftbridge {
     rec(df.asInstanceOf[classic.Dataset[Row]].queryExecution.executedPlan)
   }
 
+  /** Semantic hash of the analyzed logical plan — cache keys derived from
+    * it self-invalidate when the deriving logic changes (no hand-bumped
+    * version tags). */
+  def planHash(df: Dataset[Row]): Int =
+    df.asInstanceOf[classic.Dataset[Row]].queryExecution.analyzed.semanticHash()
+
   /** DataFrame → RDD[InternalRow] (post-optimization physical output). */
   def toInternalRdd(df: Dataset[Row]): org.apache.spark.rdd.RDD[catalyst.InternalRow] =
     df.asInstanceOf[classic.Dataset[Row]].queryExecution.toRdd

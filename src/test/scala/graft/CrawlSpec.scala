@@ -455,6 +455,26 @@ class RobotsSpec extends org.scalatest.funsuite.AnyFunSuite {
     assert(!Robots.isAllowed(rs4, "/dl/x/paid/f"))
     assert(Robots.isAllowed(rs4, "/dl/x/free/f"))
   }
+
+  test("rule paths percent-normalize like URLs (RFC 9309 §2.2.2 encoding-insensitive compare)") {
+    // a rule spelled with an encoded unreserved char must match the
+    // canonicalized (decoded) path — and vice versa
+    assert(!Robots.isAllowed(Seq(("/%7Eadmin/", false)), "/~admin/x"))
+    assert(!Robots.isAllowed(Seq(("/~admin/", false)), "/%7Eadmin/x"))
+    // reserved encodings: hex case folds, the encoding itself is preserved
+    assert(!Robots.isAllowed(Seq(("/a%2fb", false)), "/a%2Fb/x"))
+    assert(Robots.isAllowed(Seq(("/a%2Fb", false)), "/a/b/x"),
+      "an encoded slash rule must NOT match a literal slash path")
+  }
+
+  test("rules match PATH?QUERY: $ anchors stop at queries; wildcard rules can target queries") {
+    // RFC 9309 matches against path + optional query
+    assert(!Robots.isAllowed(Seq(("/p$", false)), "/p"))
+    assert(Robots.isAllowed(Seq(("/p$", false)), "/p?q=1"),
+      "a \\$-anchored rule must not match a url that continues with a query")
+    assert(!Robots.isAllowed(Seq(("/*?sessionid=", false)), "/x/y?sessionid=9"))
+    assert(Robots.isAllowed(Seq(("/*?sessionid=", false)), "/x/y?sid=9"))
+  }
 }
 
 /** Crash-resilience + skew-path determinism. */
