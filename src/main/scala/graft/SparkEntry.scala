@@ -581,6 +581,21 @@ object SparkEntry {
         col("depth").cast("long").as("depth"), col("seed_id"))
     }),
 
+    // robots-gated crawl, HARD oracle: disallow user 3's timeline (reachable
+    // at depth 1 via seed 2's cross link, so the rule genuinely reshapes the
+    // BFS within the depth cap) — discovery-time gating keeps the blocked
+    // pages out of the frontier, their outlinks never expand, and the DuckDB
+    // CTE re-derives the crawl over the edge-filtered graph
+    "q69_crawl_robots" -> ((s, dir) => {
+      val eng = crawlOracleEngine(s, dir,
+        robots = Seq(("h3.example.test", "/u/3/")))
+      eng.run(3)
+      eng.fetched().get.select(col("url_canon"), col("host"), col("seed_id"),
+        col("depth").cast("long").as("depth"), col("batch_id"),
+        col("fetch_ordinal").cast("long").as("fetch_ordinal"),
+        col("n_outlinks").cast("long").as("n_outlinks"))
+    }),
+
     // ---- S16: composed export/report job (util/pdf_exporter.py:142-241):
     // per-customer-year rollup (q13 shape) + top-k orders packed in rank
     // order (q02 shape) + broadcast dim joins (q04 shape), WRITTEN as a
@@ -713,12 +728,13 @@ object SparkEntry {
   }
 
   private def crawlOracleEngine(s: SparkSession, dir: String,
-      headTable: Boolean = false): CrawlEngine = {
+      headTable: Boolean = false,
+      robots: Seq[(String, String)] = Nil): CrawlEngine = {
     val st = java.nio.file.Files.createTempDirectory("graft_crawl_oracle").toString
     val corpus = crawlOracleCorpusCached(s, dir)
     val eng = new CrawlEngine(s, corpus, st,
       CrawlConfig(defaultHostBudget = 1000000, maxDepth = 64, shufflePartitions = 8,
-        detailedMetrics = false, headTable = headTable))
+        detailedMetrics = false, headTable = headTable, robotsDisallow = robots))
     val since = new java.sql.Timestamp((OracleBaseSec - 12600L) * 1000)
     val end = new java.sql.Timestamp((OracleBaseSec + 3600L) * 1000)
     eng.initialize((0L until 3L).map(u => Seed(s"seed$u",
@@ -1253,6 +1269,18 @@ object SparkEntry {
           | depth, seed_id
           |FROM nodes WHERE depth = 2""".stripMargin),
 
+    "q69_crawl_robots" ->
+      (crawlOracleCte(maxDepthExcl = 2, blockUser = 3L) +
+        """
+          |SELECT 'https://h' || (n.u % 10)::VARCHAR || '.example.test/u/' || n.u::VARCHAR || '/p/' || n.p::VARCHAR AS url_canon,
+          | 'h' || (n.u % 10)::VARCHAR || '.example.test' AS host,
+          | n.seed_id, n.depth, n.depth AS batch_id,
+          | CAST(n.fetch_ordinal AS BIGINT) AS fetch_ordinal,
+          | CAST((CASE WHEN n.p + 1 < pg.cnt THEN 1 ELSE 0 END)
+          |     + (CASE WHEN n.p % 3 = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_outlinks
+          |FROM nodes n JOIN pg ON pg.u = n.u AND pg.p = n.p
+          |WHERE n.p <= 3 AND n.depth <= 2""".stripMargin),
+
     "q66_cookie_parse" ->
       """SELECT doc_id,
         | CASE WHEN doc_id % 4 IN (0, 1) THEN 'sub'
@@ -1292,7 +1320,11 @@ object SparkEntry {
     * (min batch, then priority desc, then seed) and the per-(host, batch)
     * newest-first fetch ordinal. Priorities are globally unique by
     * construction, so no hash tiebreak is needed. */
-  private def crawlOracleCte(maxDepthExcl: Int): String =
+  /** `blockUser >= 0` drops every BFS edge whose TARGET is that user's
+    * timeline — the oracle mirror of discovery-time robots gating on rule
+    * `/u/<blockUser>/` (blocked pages never enter the frontier, so their
+    * outlinks never expand; reachability through them is cut). */
+  private def crawlOracleCte(maxDepthExcl: Int, blockUser: Long = -1L): String =
     s"""WITH RECURSIVE
        | pg AS (
        |   SELECT user_id AS u,
@@ -1313,7 +1345,8 @@ object SparkEntry {
        |   CROSS JOIN (VALUES (1), (2)) k(kind)
        |   WHERE b.depth < $maxDepthExcl AND b.p <= 3
        |     AND (k.kind = 2 OR b.p + 1 < pg.cnt)
-       |     AND (k.kind = 1 OR b.p % 3 = 0)),
+       |     AND (k.kind = 1 OR b.p % 3 = 0)
+       |     AND (CASE k.kind WHEN 1 THEN b.u ELSE (b.u + 1) % $OracleU END) <> $blockUser),
        | chosen AS (
        |   SELECT u, p, depth, seed_id, prio,
        |     ROW_NUMBER() OVER (PARTITION BY u, p ORDER BY depth, prio DESC, seed_id) AS rn
