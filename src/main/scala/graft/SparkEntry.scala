@@ -596,6 +596,29 @@ object SparkEntry {
         col("n_outlinks").cast("long").as("n_outlinks"))
     }),
 
+    // budget-BOUND crawl, HARD oracle (the politeness path with batches ≠
+    // BFS layers): three seeds share the mega host h0 under budget 2, so
+    // scheduling order — not reachability — decides each batch. Seed
+    // priorities (= end_ts) are made distinct per seed and discovered
+    // priorities (= warc_ts) are globally unique, so the per-host rank is
+    // deterministic without the url_hash tiebreak and DuckDB re-derives the
+    // full batch-by-batch schedule with chained per-batch CTEs.
+    "q70_crawl_budget" -> ((s, dir) => {
+      val since = new java.sql.Timestamp((OracleBaseSec - 12600L) * 1000)
+      def end(offSec: Long) = new java.sql.Timestamp((OracleBaseSec + offSec) * 1000)
+      def root(u: Long) = s"https://h${u % 10}.example.test/u/$u/p/0"
+      val eng = crawlOracleEngine(s, dir, budget = 2, seedSpecs = Some(Seq(
+        Seed("seed0", root(0), since, end(3600)),
+        Seed("seed10", root(10), since, end(1800)),
+        Seed("seed20", root(20), since, end(900)),
+        Seed("seed2", root(2), since, end(3600)))))
+      eng.run(4)
+      eng.fetched().get.select(col("url_canon"), col("host"), col("seed_id"),
+        col("depth").cast("long").as("depth"), col("batch_id"),
+        col("fetch_ordinal").cast("long").as("fetch_ordinal"),
+        col("n_outlinks").cast("long").as("n_outlinks"))
+    }),
+
     // ---- S16: composed export/report job (util/pdf_exporter.py:142-241):
     // per-customer-year rollup (q13 shape) + top-k orders packed in rank
     // order (q02 shape) + broadcast dim joins (q04 shape), WRITTEN as a
@@ -729,17 +752,94 @@ object SparkEntry {
 
   private def crawlOracleEngine(s: SparkSession, dir: String,
       headTable: Boolean = false,
-      robots: Seq[(String, String)] = Nil): CrawlEngine = {
+      robots: Seq[(String, String)] = Nil,
+      budget: Int = 1000000,
+      seedSpecs: Option[Seq[Seed]] = None): CrawlEngine = {
     val st = java.nio.file.Files.createTempDirectory("graft_crawl_oracle").toString
     val corpus = crawlOracleCorpusCached(s, dir)
     val eng = new CrawlEngine(s, corpus, st,
-      CrawlConfig(defaultHostBudget = 1000000, maxDepth = 64, shufflePartitions = 8,
+      CrawlConfig(defaultHostBudget = budget, maxDepth = 64, shufflePartitions = 8,
         detailedMetrics = false, headTable = headTable, robotsDisallow = robots))
     val since = new java.sql.Timestamp((OracleBaseSec - 12600L) * 1000)
     val end = new java.sql.Timestamp((OracleBaseSec + 3600L) * 1000)
-    eng.initialize((0L until 3L).map(u => Seed(s"seed$u",
-      s"https://h$u.example.test/u/$u/p/0", since, end)))
+    eng.initialize(seedSpecs.getOrElse((0L until 3L).map(u => Seed(s"seed$u",
+      s"https://h$u.example.test/u/$u/p/0", since, end))))
     eng
+  }
+
+  /**
+   * Budget-bound crawl oracle (q70): re-derives the engine's batch-by-batch
+   * schedule with CHAINED per-batch CTEs (recursive CTEs cannot window-rank
+   * per iteration, but a fixed batch count unrolls mechanically). Per batch
+   * b: sched_b = top-`budget` rows per host of the frontier by priority
+   * (priorities are unique per host BY CONSTRUCTION — seed priorities are
+   * distinct end_ts offsets, discovered priorities are globally-unique
+   * warc_ts values, and both pools never collide — so no url_hash tiebreak
+   * is needed); adds_b = the scheduled in-window pages' outlinks,
+   * first-discovery-wins deduped and anti-joined against everything
+   * processed or already in the frontier (the engine's membership
+   * semantics); fr_{b+1} = fr_b ∖ sched_b ∪ adds_b. Unscheduled rows stay
+   * in the frontier — THE paging continuation the budget path is about.
+   */
+  private def crawlBudgetOracleSql(batches: Int, budget: Int): String = {
+    val base = OracleBaseSec
+    val sb = new StringBuilder
+    sb.append(
+      s"""WITH pg AS (
+         |   SELECT user_id AS u,
+         |     CAST(ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY event_id) - 1 AS BIGINT) AS p,
+         |     COUNT(*) OVER (PARTITION BY user_id) AS cnt
+         |   FROM events WHERE user_id < $OracleU),
+         | fr0 AS (
+         |   SELECT * FROM (VALUES
+         |     (CAST(0 AS BIGINT),  CAST(0 AS BIGINT), CAST(0 AS BIGINT), 'seed0',  CAST(${base + 3600} AS BIGINT)),
+         |     (CAST(10 AS BIGINT), CAST(0 AS BIGINT), CAST(0 AS BIGINT), 'seed10', CAST(${base + 1800} AS BIGINT)),
+         |     (CAST(20 AS BIGINT), CAST(0 AS BIGINT), CAST(0 AS BIGINT), 'seed20', CAST(${base + 900} AS BIGINT)),
+         |     (CAST(2 AS BIGINT),  CAST(0 AS BIGINT), CAST(0 AS BIGINT), 'seed2',  CAST(${base + 3600} AS BIGINT))
+         |   ) t(u, p, depth, seed_id, prio))""".stripMargin)
+    for (b <- 0 until batches) {
+      sb.append(
+        s""",
+           | sched$b AS (
+           |   SELECT u, p, depth, seed_id, prio,
+           |     CAST(ROW_NUMBER() OVER (PARTITION BY u % 10 ORDER BY prio DESC) AS BIGINT) AS ord
+           |   FROM fr$b QUALIFY ord <= $budget),
+           | done$b AS (${(0 to b).map(i => s"SELECT u, p FROM sched$i").mkString(" UNION ALL ")}),
+           | adds$b AS (
+           |   SELECT tu AS u, tp AS p, depth, seed_id, prio FROM (
+           |     SELECT l.*, ROW_NUMBER() OVER (PARTITION BY tu, tp ORDER BY prio DESC, seed_id) AS rn
+           |     FROM (
+           |       SELECT CASE k.kind WHEN 1 THEN s.u ELSE (s.u + 1) % $OracleU END AS tu,
+           |              CASE k.kind WHEN 1 THEN s.p + 1 ELSE CAST(0 AS BIGINT) END AS tp,
+           |              s.depth + 1 AS depth, s.seed_id,
+           |              CAST($base AS BIGINT) - (s.p * 3600 + s.u * 7) AS prio
+           |       FROM sched$b s JOIN pg ON pg.u = s.u AND pg.p = s.p
+           |       CROSS JOIN (VALUES (1), (2)) k(kind)
+           |       WHERE s.p <= 3
+           |         AND (k.kind = 2 OR s.p + 1 < pg.cnt)
+           |         AND (k.kind = 1 OR s.p % 3 = 0)
+           |     ) l
+           |     WHERE NOT EXISTS (SELECT 1 FROM done$b d WHERE d.u = l.tu AND d.p = l.tp)
+           |       AND NOT EXISTS (SELECT 1 FROM fr$b f WHERE f.u = l.tu AND f.p = l.tp)
+           |   ) WHERE rn = 1),
+           | fr${b + 1} AS (
+           |   SELECT f.* FROM fr$b f
+           |   WHERE NOT EXISTS (SELECT 1 FROM sched$b s WHERE s.u = f.u AND s.p = f.p)
+           |   UNION ALL
+           |   SELECT * FROM adds$b)""".stripMargin)
+    }
+    sb.append(
+      s"""
+         |SELECT 'https://h' || (x.u % 10)::VARCHAR || '.example.test/u/' || x.u::VARCHAR || '/p/' || x.p::VARCHAR AS url_canon,
+         | 'h' || (x.u % 10)::VARCHAR || '.example.test' AS host,
+         | x.seed_id, x.depth, x.b AS batch_id,
+         | x.ord AS fetch_ordinal,
+         | CAST((CASE WHEN x.p + 1 < pg.cnt THEN 1 ELSE 0 END)
+         |     + (CASE WHEN x.p % 3 = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_outlinks
+         |FROM (${(0 until batches).map(b => s"SELECT *, CAST($b AS BIGINT) AS b FROM sched$b").mkString(" UNION ALL ")}) x
+         |JOIN pg ON pg.u = x.u AND pg.p = x.p
+         |WHERE x.p <= 3""".stripMargin)
+    sb.toString
   }
 
   /** q26's hyperplane constants inlined for the oracle — generated from the
@@ -1268,6 +1368,8 @@ object SparkEntry {
           | 'h' || (u % 10)::VARCHAR || '.example.test' AS host,
           | depth, seed_id
           |FROM nodes WHERE depth = 2""".stripMargin),
+
+    "q70_crawl_budget" -> crawlBudgetOracleSql(batches = 4, budget = 2),
 
     "q69_crawl_robots" ->
       (crawlOracleCte(maxDepthExcl = 2, blockUser = 3L) +
