@@ -619,6 +619,27 @@ object SparkEntry {
         col("n_outlinks").cast("long").as("n_outlinks"))
     }),
 
+    // the same budget-bound crawl THROUGH THE HEAD TABLE (K = budget ×
+    // (compactEvery+1) per host): the sublinear scheduling path under
+    // genuinely binding budgets, gated by the identical batch-by-batch
+    // oracle — head == full is a theorem (K bound) verified externally here
+    "q71_crawl_budget_head" -> ((s, dir) => {
+      val since = new java.sql.Timestamp((OracleBaseSec - 12600L) * 1000)
+      def end(offSec: Long) = new java.sql.Timestamp((OracleBaseSec + offSec) * 1000)
+      def root(u: Long) = s"https://h${u % 10}.example.test/u/$u/p/0"
+      val eng = crawlOracleEngine(s, dir, headTable = true, budget = 2,
+        seedSpecs = Some(Seq(
+          Seed("seed0", root(0), since, end(3600)),
+          Seed("seed10", root(10), since, end(1800)),
+          Seed("seed20", root(20), since, end(900)),
+          Seed("seed2", root(2), since, end(3600)))))
+      eng.run(4)
+      eng.fetched().get.select(col("url_canon"), col("host"), col("seed_id"),
+        col("depth").cast("long").as("depth"), col("batch_id"),
+        col("fetch_ordinal").cast("long").as("fetch_ordinal"),
+        col("n_outlinks").cast("long").as("n_outlinks"))
+    }),
+
     // ---- S16: composed export/report job (util/pdf_exporter.py:142-241):
     // per-customer-year rollup (q13 shape) + top-k orders packed in rank
     // order (q02 shape) + broadcast dim joins (q04 shape), WRITTEN as a
@@ -1370,6 +1391,7 @@ object SparkEntry {
           |FROM nodes WHERE depth = 2""".stripMargin),
 
     "q70_crawl_budget" -> crawlBudgetOracleSql(batches = 4, budget = 2),
+    "q71_crawl_budget_head" -> crawlBudgetOracleSql(batches = 4, budget = 2),
 
     "q69_crawl_robots" ->
       (crawlOracleCte(maxDepthExcl = 2, blockUser = 3L) +
