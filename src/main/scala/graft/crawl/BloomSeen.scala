@@ -143,14 +143,18 @@ case class BloomMergeAgg(
  *    keyed by broadcast id), O(|seen|) bytes live ONLY in executor/block
  *    storage, not in the plan and not in a driver field;
  *  - `recent`: the per-batch delta blobs since that snapshot (≤ compactEvery
- *    entries, each O(batch) bytes) — small enough to ride the task closure.
+ *    entries, each O(batch) bytes) — ALSO real broadcasts, shipped once per
+ *    batch at delta-build time (VERDICT r4 item 2: riding the task closure
+ *    put O(batch) bytes × tiers into EVERY task — the recorded 3.5 MiB
+ *    large-task warning at sf0.1, hundreds of MB/task at production batch
+ *    sizes). The expression itself serializes to O(1) broadcast handles.
  *
  * Per-row cost: one floorMod + 1 + |recent| filter probes, inside
  * whole-stage codegen.
  */
 case class BloomProbeBroadcast(
     snapshot: Broadcast[Array[Array[Byte]]],
-    recent: Seq[Array[Array[Byte]]],
+    recent: Seq[Broadcast[Array[Array[Byte]]]],
     hash: Expression)
   extends UnaryExpression {
 
@@ -162,7 +166,7 @@ case class BloomProbeBroadcast(
     BloomProbeBroadcast.cachedFilters(snapshot)
 
   @transient private lazy val tier2: Array[Array[BloomFilter]] =
-    recent.map(_.map(b => BloomFilter.readFrom(new ByteArrayInputStream(b)))).toArray
+    recent.map(BloomProbeBroadcast.cachedFilters).toArray
 
   def probe(h: Long): Boolean = {
     val t1 = tier1
@@ -240,8 +244,9 @@ object BloomSeen {
     toColumn(BloomMergeAgg(toExpression(blob), toExpression(key), expectedItems, fpp)
       .toAggregateExpression())
 
-  /** Column API: probe the two-tier sharded filter (shard = floorMod(hash, S)). */
+  /** Column API: probe the two-tier sharded filter (shard = floorMod(hash, S));
+    * both tiers are broadcast handles — the plan never embeds blob bytes. */
   def bloom_probe(snapshot: Broadcast[Array[Array[Byte]]],
-      recent: Seq[Array[Array[Byte]]], hashCol: Column): Column =
+      recent: Seq[Broadcast[Array[Array[Byte]]]], hashCol: Column): Column =
     toColumn(BloomProbeBroadcast(snapshot, recent, toExpression(hashCol)))
 }

@@ -394,13 +394,21 @@ class CrawlEngine(
   // never a field sized O(|seen|), and the plan never embeds the blobs as a
   // Literal. Tier 2 (per-batch deltas since the snapshot, ≤ compactEvery
   // entries of O(batch) bytes each) is built EXECUTOR-SIDE by the bloom_build
-  // aggregate — the driver collects S blob rows per batch, never a key set.
+  // aggregate — the driver collects S blob rows per batch, never a key set —
+  // and each tier likewise ships as a real broadcast (VERDICT r4 item 2:
+  // closure-embedded tiers made every task O(batch) bytes — the recorded
+  // 3.5 MiB large-task warning at sf0.1).
   // At compaction the tiers fold EXECUTOR-SIDE (bloom_merge over snapshot
   // blob rows ∪ post-snapshot seen-delta keys) into the next snapshot.
   // ------------------------------------------------------------------
 
   private var bloomBc: Broadcast[Array[Array[Byte]]] = _
-  private val bloomRecent = scala.collection.mutable.ArrayBuffer[Array[Array[Byte]]]()
+  /** per-batch delta tiers as REAL broadcasts (VERDICT r4 item 2): shipped
+    * once per batch, decoded per executor — never plan-closure payload. */
+  private val bloomRecent =
+    scala.collection.mutable.ArrayBuffer[Broadcast[Array[Array[Byte]]]]()
+  private def addRecentTier(blobs: Array[Array[Byte]]): Unit =
+    bloomRecent += spark.sparkContext.broadcast(blobs)
   private var blobCapacity: Long = 0L // tier-1 per-shard expectedItems at creation
   private var bloomSnapshotV: Long = Long.MinValue
   /** counts full builds (scan of seen) — tests assert it stays ≤ 1. */
@@ -415,6 +423,7 @@ class CrawlEngine(
     val old = bloomBc
     bloomBc = spark.sparkContext.broadcast(blobs)
     bloomSnapshotV = v
+    bloomRecent.foreach(_.unpersist())
     bloomRecent.clear()
     // unpersist (not destroy): earlier in-flight plans may still hold the old
     // handle; executors drop their copies now, the ContextCleaner destroys the
@@ -488,7 +497,7 @@ class CrawlEngine(
     // executor-side; the driver never materializes the replayed keys
     store.readDeltaAdds("seen", v, committed).foreach { d =>
       val n = d.count()
-      if (n > 0) bloomRecent += buildShardBlobs(d.select("url_hash"), perShardCapFor(n))
+      if (n > 0) addRecentTier(buildShardBlobs(d.select("url_hash"), perShardCapFor(n)))
     }
   }
 
@@ -945,7 +954,7 @@ class CrawlEngine(
       else None
     import scala.concurrent.duration.Duration
     Seq(fAdds, fDels, fSeen).foreach(scala.concurrent.Await.result(_, Duration.Inf))
-    fBloom.foreach(f => bloomRecent += scala.concurrent.Await.result(f, Duration.Inf))
+    fBloom.foreach(f => addRecentTier(scala.concurrent.Await.result(f, Duration.Inf)))
 
     // arithmetic size updates: dels are frontier-present exactly once,
     // adds are frontier-absent (anti-joined above) — no O(|state|) count jobs
@@ -1163,10 +1172,16 @@ class CrawlEngine(
     store.writeDeltaAdds("seen", batchId, blocked
       .withColumn("first_batch", lit(batchId))
       .select("url_hash", "url_canon", "first_batch"))
-    if (bloomBc != null)
-      bloomRecent += buildShardBlobs(blocked.select("url_hash"), perShardCapFor(n))
     val newSeen = seenSize(committed) + n
     val newFront = frontierSize(committed) - n
+    if (bloomBc != null) {
+      addRecentTier(buildShardBlobs(blocked.select("url_hash"), perShardCapFor(n)))
+      // same recent-tier cap runBatch applies (ADVICE r4): repeated purges —
+      // or a purge landing on an already-at-cap tier — must fold instead of
+      // exceeding the documented probe-cost / broadcast-count bound
+      if (bloomRecent.size >= cfg.bloomRecentCap)
+        refreshBloomAtCompaction(batchId, newSeen)
+    }
     if (cfg.headTable) store.write("head", batchId, buildHead(frontier(batchId)))
     store.appendLog("ledger", batchId, ledgerRow(batchId, "PURGED", newSeen,
       robotsBlocked = n, frontierSize = newFront))
