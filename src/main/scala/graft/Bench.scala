@@ -505,13 +505,8 @@ object Bench {
         val t0 = System.nanoTime()
         eng.run(6)
         val dt = (System.nanoTime() - t0) / 1e9
-        // the rank stage's scan input: latest head snapshot vs full frontier
-        val rankRows =
-          if (head)
-            eng.store.latestVersion("head", eng.store.committedBatch)
-              .map(v => eng.store.read("head", v, eng.frontier().limit(0)).count())
-              .getOrElse(0L)
-          else eng.frontier().count()
+        // the rank stage's scan input: live in-memory head vs full frontier
+        val rankRows = if (head) eng.headRows else eng.frontier().count()
         try graft.crawl.StateStore.deleteRecursively(java.nio.file.Paths.get(stateDir))
         catch { case _: Throwable => }
         (dt, rankRows)

@@ -599,21 +599,21 @@ class HeadTableSpec extends org.scalatest.funsuite.AnyFunSuite {
       CrawlConfig(defaultHostBudget = budget, shufflePartitions = 4,
         maxDepth = 8, compactEvery = C, bloomMinSeen = 1, headTable = true))
     eng.initializeWithFrontier(preload)
-    eng.run(5)
-    val frontierRows = eng.frontier().count()
-    assert(frontierRows > 1000, s"test premise: a big frontier (got $frontierRows)")
     val nHosts = PagesGen.numHosts(N)
     val bound = nHosts * budget * (C + 1)
-    // every persisted head version (the rank stage's scan input) is bounded
-    val versions = new java.io.File(s"$dir/head").listFiles().toSeq
-      .filter(_.getName.startsWith("v="))
-    assert(versions.nonEmpty)
-    versions.foreach { v =>
-      val rows = spark.read.parquet(v.toString).count()
+    // the live in-memory head (the rank stage's scan input) is bounded after
+    // EVERY batch — the r5 head is never persisted, so the hook counts it
+    (1 to 5).foreach { i =>
+      eng.runBatch()
+      val rows = eng.headRows
+      assert(rows >= 0, s"batch $i: no live head")
       assert(rows <= bound,
-        s"head ${v.getName} has $rows rows — exceeds the Σ budgets bound $bound " +
-          s"(frontier is $frontierRows rows)")
+        s"batch $i: head has $rows rows — exceeds the Σ budgets bound $bound")
     }
+    val frontierRows = eng.frontier().count()
+    assert(frontierRows > 1000, s"test premise: a big frontier (got $frontierRows)")
+    assert(eng.headRows <= bound && frontierRows > bound,
+      "premise: the head bound must be genuinely smaller than the frontier")
   }
 
   test("sharded ranking variant: head == full under (host, salt) politeness shards") {
@@ -675,7 +675,7 @@ class HeadTableSpec extends org.scalatest.funsuite.AnyFunSuite {
     a.run(3); b.run(3)
     val newEnd = new java.sql.Timestamp(PagesGen.BaseTsMillis + 3600_000L)
     a.rotateWindows(newEnd); b.rotateWindows(newEnd)
-    // resume in fresh engines (head read back from the store)
+    // resume in fresh engines (the in-memory head rebuilds from the frontier)
     val a2 = new CrawlEngine(spark, pagesDF, dirA, cfgBase.copy(headTable = true))
     val b2 = new CrawlEngine(spark, pagesDF, dirB, cfgBase)
     a2.run(3); b2.run(3)
