@@ -737,20 +737,22 @@ class CrawlEngine(
     // missing urls forever (ADVICE r1).
     val pagesSel = pagesByCanon.select($"url_canon", $"page_url", $"warc_ts", $"html", $"text", $"lang")
 
-    // ---- materialize the scheduled set ONCE, as this batch's lineage log.
-    // The ranking window executes exactly once (into a compact parquet);
-    // every downstream consumer — fetch-join build side, frontier del-keys,
-    // seen adds, exact count, bloom insert — re-reads the columnar file from
-    // page cache instead of re-running the window or pinning a row cache in
-    // executor memory (executor-memory caches of batch data were the main
-    // non-scaling term in the r1 bench: cache serialization is bandwidth-
-    // bound and competes with the parse stage).
-    val schedObs = org.apache.spark.sql.Observation()
-    timed("write_scheduled")(store.appendLog("scheduled", batchId,
-      scheduled.observe(schedObs, count(lit(1)).as("n"))))
-    val schedDf = store.readLog("scheduled", batchId, batchId - 1).get.drop("batch")
-    // exact count piggybacks on the write job (Observation) — no extra action
-    val schedCount = schedObs.get("n").asInstanceOf[Long]
+    // ---- materialize the scheduled set ONCE, in executor storage. The
+    // ranking window executes exactly once (the count below populates the
+    // cache); every downstream consumer — fetch-join build side, open-corpus
+    // recovery — re-reads the cached partitions. Through round 4 this was a
+    // parquet write + read-back ("scheduled" log): a full extra write job
+    // per batch against the shared sink whose cost was FLAT across executor
+    // layouts (12-16 s/batch-set at lc scale, VERDICT r4 item 3) — and the
+    // row set is recoverable as a projection of the parsed log anyway, so
+    // the log carried no lineage the parsed log doesn't. Scheduled rows are
+    // slim (frontier row + ordinal, no page bodies — the r1 caveat about
+    // caching BATCH PAGE DATA doesn't apply), and the cache is dropped at
+    // end of batch. Spills to disk if a bench-sized batch outgrows memory.
+    val schedDf = scheduled.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    // the one materializing action; also the exact count the ledger
+    // arithmetic needs (replaces the write job's piggybacked Observation)
+    val schedCount = timed("sched_rank")(schedDf.count())
 
     val fetchedRaw =
       if (cfg.broadcastScheduled)
@@ -901,6 +903,13 @@ class CrawlEngine(
     // cap it falls back to the r2 inversion: the link keys broadcast-semi
     // against the big scans, the tiny hit sets broadcast back — either way,
     // no big-side shuffle anywhere.
+    // CACHED: the exploded+canonicalized link set is referenced by up to
+    // three consumers (the bounded-key collect OR the two broadcast-semi
+    // membership probes, plus the adds spine) — uncached, the fallback path
+    // re-ran the explode + canonicalize + hash over the whole batch THREE
+    // times inside the adds write job (a flat term of write_fr_adds,
+    // VERDICT r4 item 3). Slim rows (no page bodies), dropped at end of
+    // batch, disk spill for bench-sized batches.
     val linksRaw = parsedDf.filter(size($"outlinks") > 0)
       .select($"seed_id", $"since_ts", $"end_ts", $"depth", $"warc_ts",
         explode($"outlinks").as("url"))
@@ -908,6 +917,7 @@ class CrawlEngine(
       .withColumn("url_hash", xxhash64($"url_canon"))
       .withColumn("child_depth", $"depth" + 1)
       .filter($"child_depth" <= cfg.maxDepth)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     // arithmetic pre-check: a batch with more parsed pages than the key cap
     // almost surely produces more link keys than the cap — skip the collect
     // and go straight to the broadcast-semi fallback (a wrong skip only
@@ -1023,9 +1033,15 @@ class CrawlEngine(
       val src =
         if (compacted || robotsBlockedCount > 0) frontier(batchId)
         else {
+          // parquet-backed delta views (not this batch's in-memory frames):
+          // the head materializes lazily at the NEXT batch's first action,
+          // after this batch's caches are unpersisted — its plan must only
+          // reference durable inputs (the written deltas) + the cached head
           val adds = store.readDeltaAdds("frontier", batchId - 1, batchId)
             .map(_.drop("_add_batch")).getOrElse(emptyFrontier)
-          headView(committed).join(processedHashes, Seq("url_hash"), "left_anti")
+          val dels = store.readDeltaDelKeys("frontier", batchId)
+            .getOrElse(emptySeen.select("url_hash"))
+          headView(committed).join(dels, Seq("url_hash"), "left_anti")
             .unionByName(adds)
         }
       setHead(buildHead(src), batchId)
@@ -1048,6 +1064,8 @@ class CrawlEngine(
     seenSizeCache = newSeenSize
     frontierSizeCache = newFrontierSize
     missingRows.foreach(_.unpersist())
+    schedDf.unpersist()
+    linksRaw.unpersist()
     if (hasRobots) robotsBlocked.unpersist()
     // U6 — health notifications (util/notify.py; weibo.py:436-450,1804):
     // anomalies alert ONCE per condition (the reference suppresses repeats)

@@ -1166,8 +1166,9 @@ class WindowAndGuardSpec extends org.scalatest.funsuite.AnyFunSuite {
         shufflePartitions = 4, shardedRanking = true))
     eng.initialize(PagesGen.seedRows(N, 6).map(Seed.tupled))
     eng.run(3)
-    // scheduled log = exactly what the politeness cap governs
-    val sched = eng.store.readLog("scheduled", Long.MaxValue).get
+    // the parsed log carries exactly the scheduled rows (one per fetch
+    // attempt) — the politeness cap governs its per-(host, batch) counts
+    val sched = eng.store.readLog("parsed", Long.MaxValue).get
     val over = sched.groupBy($"host", $"batch").count().filter($"count" > 5).count()
     assert(over == 0, "per-host politeness budget exceeded (ceil-overshoot bug, ADVICE r1)")
   }
