@@ -37,6 +37,12 @@ case class Seed(seed_id: String, root_url: String,
  * @param defaultDelayMs     per-fetch token-bucket delay budget within a host
  * @param perHostBudget      overrides, e.g. a larger-but-bounded budget for
  *                           the mega-host
+ * @param perHostDelayMs     per-host delay overrides — typically
+ *                           robots-derived via [[Robots.configure]]
+ *                           (`Crawl-delay`, VERDICT r4 item 4); hosts absent
+ *                           here use defaultDelayMs. Honored by both the
+ *                           modeled sched_delay_ms lineage and the
+ *                           wall-clock pacing stage
  * @param maxDepth           outlink expansion bound
  * @param saltBuckets        salt fan-out for mega-host partitions (north
  *                           rule: salted repartitioning on host-hash)
@@ -86,6 +92,7 @@ case class CrawlConfig(
     defaultHostBudget: Int = 5,
     defaultDelayMs: Long = 6000L,
     perHostBudget: Map[String, Int] = Map.empty,
+    perHostDelayMs: Map[String, Long] = Map.empty,
     maxDepth: Int = 3,
     saltBuckets: Int = 8,
     bloomShards: Int = 8,
@@ -718,9 +725,15 @@ class CrawlEngine(
     // no broadcast hint: with a politeness-bounded batch AQE broadcasts the
     // key set; with an unbounded bench batch (keys ≈ frontier) it picks a
     // narrow shuffle join instead of a driver-choking batch-sized broadcast
+    // per-host delay (robots Crawl-delay or config override) via a literal
+    // map lookup — config-small, no join
+    val hostDelay =
+      if (cfg.perHostDelayMs.isEmpty) lit(cfg.defaultDelayMs)
+      else coalesce(element_at(typedLit(cfg.perHostDelayMs), $"host"),
+        lit(cfg.defaultDelayMs))
     val scheduled = eligible
       .join(rankedKeys, Seq("url_hash"))
-      .withColumn("sched_delay_ms", ($"fetch_ordinal" - 1) * lit(cfg.defaultDelayMs))
+      .withColumn("sched_delay_ms", ($"fetch_ordinal" - 1) * hostDelay)
 
     // ---- fetch = lookup into the pages corpus (S1 analog; in tests "fetch"
     // is this join per the driver instruction — no network). left join keeps
@@ -1289,7 +1302,10 @@ class CrawlEngine(
     val schema = salted.schema
     val hostIdx = schema.fieldIndex("host")
     val stampIdx = schema.fieldIndex("paced_at_ms")
-    val delayMs = cfg.defaultDelayMs
+    // per-host delay budgets (robots Crawl-delay analog) — config-small map
+    // in the task closure; hosts without an override pace at the default
+    val defaultDelayMs = cfg.defaultDelayMs
+    val perHostDelayMs = cfg.perHostDelayMs
     // host INSIDE the sort key: several hosts can share one salt shard, and
     // sorting by ordinal alone would interleave them — the consecutive-row
     // bookkeeping below would then never see two same-host rows back to back
@@ -1304,7 +1320,7 @@ class CrawlEngine(
         val host = r.getUTF8String(hostIdx).toString
         val now = System.currentTimeMillis()
         if (host == lastHost) {
-          val wait = delayMs - (now - lastAt)
+          val wait = perHostDelayMs.getOrElse(host, defaultDelayMs) - (now - lastAt)
           if (wait > 0) Thread.sleep(wait)
         }
         lastHost = host; lastAt = System.currentTimeMillis()
