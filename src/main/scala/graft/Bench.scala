@@ -49,15 +49,22 @@ object Bench {
     val path = bucketedCorpusPath(nPages, bodyRepeat)
     val marker = new java.io.File(path, "_GRAFT_DONE")
     if (marker.exists()) return
-    val tmpName = s"graft_corpus_writer_${nPages}_$bodyRepeat"
-    corpus(spark, nPages, bodyRepeat)
-      .withColumn("url_canon", gf.canonicalize_url(col("url")))
-      .write.format("parquet")
-      .bucketBy(64, "url_canon").sortBy("url_canon")
-      .option("path", path)
-      .mode("overwrite")
-      .saveAsTable(tmpName)
-    marker.createNewFile()
+    // build-into-unique-dir + atomic rename (ADVICE r4): the bucketed write
+    // goes through a throwaway EXTERNAL table at the temp location (bucketBy
+    // requires saveAsTable); dropping it removes only the catalog entry, and
+    // the rename publishes a complete fixture or nothing
+    SparkEntry.buildFixtureAtomically(path) { tmp =>
+      val tmpName = s"graft_corpus_writer_${nPages}_$bodyRepeat"
+      spark.sql(s"DROP TABLE IF EXISTS $tmpName")
+      corpus(spark, nPages, bodyRepeat)
+        .withColumn("url_canon", gf.canonicalize_url(col("url")))
+        .write.format("parquet")
+        .bucketBy(64, "url_canon").sortBy("url_canon")
+        .option("path", tmp)
+        .mode("overwrite")
+        .saveAsTable(tmpName)
+      spark.sql(s"DROP TABLE IF EXISTS $tmpName")
+    }
   }
 
   /** Register (idempotently) and return the bucketed corpus table in THIS

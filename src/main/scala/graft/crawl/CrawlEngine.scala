@@ -44,6 +44,18 @@ case class Seed(seed_id: String, root_url: String,
  *                           modeled sched_delay_ms lineage and the
  *                           wall-clock pacing stage
  * @param maxDepth           outlink expansion bound
+ * @param expansionCaps      per-link-CLASS expansion caps (reference analog:
+ *                           comment_max_download_count /
+ *                           repost_max_download_count,
+ *                           /root/reference/config.json:24-26, pull loops
+ *                           weibo.py:1476-1652): each page expands at most
+ *                           cap links of a class, in page order. Classes:
+ *                           "paging" (same-host child — the timeline/
+ *                           comment-page cursor analog) and "cross"
+ *                           (cross-host child — the repost/discovery
+ *                           analog). Missing class ⇒ unlimited; cap 0 ⇒
+ *                           that class never expands (the reference's
+ *                           download_repost=0 analog)
  * @param saltBuckets        salt fan-out for mega-host partitions (north
  *                           rule: salted repartitioning on host-hash)
  * @param bloomShards        seen-set prefilter shards
@@ -94,6 +106,7 @@ case class CrawlConfig(
     perHostBudget: Map[String, Int] = Map.empty,
     perHostDelayMs: Map[String, Long] = Map.empty,
     maxDepth: Int = 3,
+    expansionCaps: Map[String, Int] = Map.empty,
     saltBuckets: Int = 8,
     bloomShards: Int = 8,
     bloomFpp: Double = 0.01,
@@ -923,9 +936,25 @@ class CrawlEngine(
     // times inside the adds write job (a flat term of write_fr_adds,
     // VERDICT r4 item 3). Slim rows (no page bodies), dropped at end of
     // batch, disk spill for bench-sized batches.
+    // per-link-class expansion caps (see CrawlConfig.expansionCaps): each
+    // page expands at most cap "paging" (same-host) and cap "cross"
+    // (cross-host) links, kept in page order — pure array ops inside the
+    // row, no shuffle, no extra pass. The parsed log's outlinks column (the
+    // page's content) stays uncapped, like the reference's stored counts.
+    val expandCol =
+      if (cfg.expansionCaps.isEmpty) $"outlinks"
+      else {
+        def sameHost(u: org.apache.spark.sql.Column) =
+          gf.url_host(gf.canonicalize_url(u)) === $"host"
+        def capped(arr: org.apache.spark.sql.Column, cls: String) =
+          cfg.expansionCaps.get(cls).map(c => slice(arr, 1, c)).getOrElse(arr)
+        concat(
+          capped(filter($"outlinks", u => sameHost(u)), "paging"),
+          capped(filter($"outlinks", u => !sameHost(u)), "cross"))
+      }
     val linksRaw = parsedDf.filter(size($"outlinks") > 0)
       .select($"seed_id", $"since_ts", $"end_ts", $"depth", $"warc_ts",
-        explode($"outlinks").as("url"))
+        explode(expandCol).as("url"))
       .withColumn("url_canon", gf.canonicalize_url($"url"))
       .withColumn("url_hash", xxhash64($"url_canon"))
       .withColumn("child_depth", $"depth" + 1)

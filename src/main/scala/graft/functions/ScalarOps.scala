@@ -94,4 +94,20 @@ object ScalarOps {
         trim(p.substr(instr(p, "=") + 1, length(p))).as("v")))
 
   def cookiePairCount(c: Column): Column = size(cookiePairs(c))
+
+  /** X14 sub-piece — `_truncate_middle` (/root/reference/service.py:72-85):
+    * bound a display string to maxLen CHARACTERS by replacing the middle
+    * with '...' — head = (maxLen−3)/2 chars, tail the rest; null → "";
+    * short strings pass through. Pure columns (length/substring count
+    * characters in both Spark and the DuckDB oracle, so multi-byte text
+    * truncates identically). */
+  def truncateMiddle(c: Column, maxLen: Int): Column = {
+    require(maxLen > 3, s"truncateMiddle needs maxLen > 3 (got $maxLen)")
+    val keep = maxLen - 3
+    val head = keep / 2
+    val tail = keep - head
+    when(c.isNull, lit(""))
+      .when(length(c) <= maxLen, c)
+      .otherwise(concat(substring(c, 1, head), lit("..."), substring(c, -tail, tail)))
+  }
 }

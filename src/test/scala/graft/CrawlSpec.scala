@@ -246,6 +246,42 @@ class CrawlSpec extends AnyFunSuite {
     assert(eng.frontier().count() == 0)
   }
 
+  test("per-link-class expansion caps bind per page in page order (VERDICT r4 item 5)") {
+    val a = "ca.example.test"; val b = "cb.example.test"
+    val base = PagesGen.BaseTsMillis
+    def mk(url: String, ts: Long, links: Seq[String]) = {
+      val html = links.map(l => s"""<a href="$l">x</a>""").mkString + "body"
+      Page(url, new java.sql.Timestamp(ts), html.getBytes("UTF-8"),
+        TextExtract.extractText(html), "en")
+    }
+    def pa(i: Int) = s"https://$a/u/1/c/$i" // same-host ⇒ "paging" class
+    def px(i: Int) = s"https://$b/x/$i"     // cross-host ⇒ "cross" class
+    val root = s"https://$a/u/1/p/0"
+    // root interleaves the classes — caps must pick each class's FIRST links
+    // in page order, not a prefix of the mixed array
+    val pages = (Seq(mk(root, base - 1000, Seq(pa(1), px(1), pa(2), pa(3), px(2)))) ++
+      (1 to 3).map(i => mk(pa(i), base - 1000 - i * 100, Nil)) ++
+      (1 to 2).map(i => mk(px(i), base - 5000 - i * 100, Nil))).toDF
+    val since = new java.sql.Timestamp(base - 86400_000L)
+    val end = new java.sql.Timestamp(base)
+    def run(caps: Map[String, Int]): Seq[String] = {
+      val eng = new CrawlEngine(spark, pages, tmp(),
+        CrawlConfig(defaultHostBudget = 8, maxDepth = 4, shufflePartitions = 2,
+          expansionCaps = caps))
+      eng.initialize(Seq(Seed("s", root, since, end)))
+      eng.run(3)
+      eng.fetched().get.select("url_canon").collect().map(_.getString(0)).sorted.toSeq
+    }
+    assert(run(Map.empty).size == 6, "premise: uncapped crawl reaches all 6 pages")
+    // comment-cap 2 + repost-cap 1 analog: first 2 paging + first 1 cross
+    assert(run(Map("paging" -> 2, "cross" -> 1)) ==
+      Seq(root, pa(1), pa(2), px(1)).sorted)
+    // cap 0 disables a class outright (the download_repost=0 analog)
+    assert(run(Map("cross" -> 0)) == Seq(root, pa(1), pa(2), pa(3)).sorted)
+    // an uncapped class is unlimited when only the other is capped
+    assert(run(Map("cross" -> 1)) == Seq(root, pa(1), pa(2), pa(3), px(1)).sorted)
+  }
+
   test("robots wildcard rules gate the crawl end-to-end (RFC 9309 §2.2.3)") {
     val h = "rw.example.test"
     val base = PagesGen.BaseTsMillis
