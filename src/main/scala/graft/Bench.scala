@@ -141,6 +141,9 @@ object Bench {
       broadcastScheduled = broadcastSched,
       detailedMetrics = false, shardedRanking = true,
       realTimePacing = paced,
+      // recrawl-everything regime (budget never binds) is known a priori
+      // here — skip auto's one-batch narrow warmup
+      rankMode = "direct",
       corpusUnique = true)) // PagesGen urls are unique by construction
     eng.initializeWithFrontier(preload)
     val t0 = System.nanoTime()
@@ -518,10 +521,17 @@ object Bench {
         catch { case _: Throwable => }
         (dt, rankRows)
       }
-      val (fullSec, fullRows) = boundedCrawl(head = false)
-      val (headSec, headRows) = boundedCrawl(head = true)
+      // INTERLEAVED min-of-2 per arm (same estimator as the lc pairs): the
+      // r5 artifact caught this probe single-shot in a bad noise window
+      // (sec_full 101.5 on a run that took 35.0 in the r4 window) —
+      // alternating arms samples the same windows for both and min picks
+      // each arm's clean run
+      val headArms = Seq(false, true, true, false).map(h => h -> boundedCrawl(h))
+      def armMin(h: Boolean) = headArms.collect { case (`h`, r) => r }.minBy(_._1)
+      val ((fullSec, fullRows), (headSec, headRows)) = (armMin(false), armMin(true))
       val r1l = (x: Double) => math.round(x * 10) / 10.0
       s""","head_sched":{"sec_full":${r1l(fullSec)},"sec_head":${r1l(headSec)},""" +
+        s""""sec_runs":[${headArms.map { case (h, (s, _)) => s"""[${if (h) 1 else 0},${r1l(s)}]""" }.mkString(",")}],""" +
         s""""rank_rows_full":$fullRows,"rank_rows_head":$headRows}"""
     }
     // pacing-machinery overhead (VERDICT r3 item 2's bench line): the full
@@ -530,11 +540,21 @@ object Bench {
     // (which at a real delay budget dominate by design). In-session pair so
     // both runs share one environment.
     val pacedJson = if (skipScaling) "" else {
-      val (uf, ud, _) = crawlBench(spark, benchPages, cpus, 2, bodyRepeat)
-      val (pf, pd, _) = crawlBench(spark, benchPages, cpus, 2, bodyRepeat, paced = true)
+      // interleaved best-of-2 tp per arm — the r5 single-shot pair recorded
+      // a NEGATIVE overhead (paced faster than unpaced), i.e. pure window
+      // noise; min-sec/max-tp per arm under alternation is the same robust
+      // estimator the lc pairs use
+      val arms = Seq(false, true, true, false).map { p =>
+        val (f, d, _) = crawlBench(spark, benchPages, cpus, 2, bodyRepeat, paced = p)
+        p -> (f / d)
+      }
+      def tpOf(p: Boolean) = arms.collect { case (`p`, t) => t }.max
+      val (ut, pt) = (tpOf(false), tpOf(true))
       val r1l = (x: Double) => math.round(x * 10) / 10.0
-      val overheadPct = math.round((1.0 - (pf / pd) / (uf / ud)) * 1000) / 10.0
-      s""","paced":{"tp":${r1l(pf / pd)},"tp_unpaced":${r1l(uf / ud)},"overhead_pct":$overheadPct}"""
+      val overheadPct = math.round((1.0 - pt / ut) * 1000) / 10.0
+      s""","paced":{"tp":${r1l(pt)},"tp_unpaced":${r1l(ut)},""" +
+        s""""tp_runs":[${arms.map { case (p, t) => s"""[${if (p) 1 else 0},${r1l(t)}]""" }.mkString(",")}],""" +
+        s""""overhead_pct":$overheadPct}"""
     }
     spark.stop()
 

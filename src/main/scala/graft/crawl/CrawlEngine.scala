@@ -123,7 +123,13 @@ case class CrawlConfig(
     corpusUnique: Boolean = false,
     probePushdownMaxKeys: Int = 1024,
     bloomRecentCap: Int = 16,
-    headTable: Boolean = false)
+    headTable: Boolean = false,
+    /** rank plan: "narrow" (window on a slim projection, budget keys join
+      * back — optimal when politeness budgets bind), "direct" (one window
+      * over full rows — optimal for recrawl-everything batches where
+      * sched ≈ frontier), or "auto" (direct once the previous batch
+      * scheduled ≥ half the frontier). Identical results either way. */
+    rankMode: String = "auto")
 
 /**
  * The URL-frontier + fetch-scheduler engine (BASELINE.json.north_rule).
@@ -348,6 +354,11 @@ class CrawlEngine(
 
   /** running |frontier| — same arithmetic maintenance (deltas are exact:
     * every del key is frontier-present, every add is frontier-absent). */
+  /** previous batch's scheduled-row count (this engine instance only; -1 =
+    * no history) — rankMode=auto's regime predictor. Deliberately NOT
+    * persisted: a resumed engine's first batch takes the narrow plan, which
+    * is merely a plan-shape choice, never a correctness one. */
+  private var lastSchedCount: Long = -1L
   private var frontierSizeCache: Long = -1L
   private def frontierSize(committed: Long): Long = {
     if (frontierSizeCache < 0) {
@@ -728,25 +739,58 @@ class CrawlEngine(
         floor($"host_budget" / lit(cfg.saltBuckets)).cast("int") +
           when(saltCol < pmod($"host_budget", lit(cfg.saltBuckets)), 1).otherwise(0)
       else $"host_budget"
-    val rankedKeys = eligible
-      .select($"url_hash", $"host", $"priority_ts")
-      .withColumn("fetch_ordinal", row_number().over(w))
-      .join(budgetDf, $"host" === $"b_host", "left_outer")
-      .withColumn("host_budget", coalesce($"b_budget", lit(cfg.defaultHostBudget)))
-      .filter($"fetch_ordinal" <= effBudget)
-      .select($"url_hash", $"fetch_ordinal")
-    // no broadcast hint: with a politeness-bounded batch AQE broadcasts the
-    // key set; with an unbounded bench batch (keys ≈ frontier) it picks a
-    // narrow shuffle join instead of a driver-choking batch-sized broadcast
     // per-host delay (robots Crawl-delay or config override) via a literal
     // map lookup — config-small, no join
     val hostDelay =
       if (cfg.perHostDelayMs.isEmpty) lit(cfg.defaultDelayMs)
       else coalesce(element_at(typedLit(cfg.perHostDelayMs), $"host"),
         lit(cfg.defaultDelayMs))
-    val scheduled = eligible
-      .join(rankedKeys, Seq("url_hash"))
-      .withColumn("sched_delay_ms", ($"fetch_ordinal" - 1) * hostDelay)
+    // Two regime-dependent rank plans (identical results — same window spec,
+    // same budget filter, url_hash tiebreak makes the order total):
+    //  - narrow (politeness-bounded batches, sched ≪ frontier): the window
+    //    shuffle carries only (url_hash, host, priority_ts); the budget-
+    //    surviving keys (bounded by Σ budgets) broadcast back onto the
+    //    frontier scan to recover full rows — no wide shuffle anywhere.
+    //  - direct (recrawl-everything batches, sched ≈ frontier — full-refresh
+    //    crawls, the throughput-bench regime): the narrow plan degenerates
+    //    there (every key survives, so the "broadcast back" is a second,
+    //    full-width frontier shuffle on top of the narrow one — the flat
+    //    sched_rank term in the r5 lc artifact); ranking the full rows in
+    //    ONE wide window strictly moves less data.
+    // rankMode=auto picks direct when the previous batch scheduled ≥ half
+    // the frontier (first batch of a fresh engine has no history → narrow).
+    val useDirect = cfg.rankMode match {
+      case "direct" => true
+      case "narrow" => false
+      case _ => lastSchedCount >= 0 && lastSchedCount * 2 >= frontCount
+    }
+    val scheduled =
+      if (useDirect)
+        eligible
+          .withColumn("fetch_ordinal", row_number().over(w))
+          .join(budgetDf, $"host" === $"b_host", "left_outer")
+          .withColumn("host_budget", coalesce($"b_budget", lit(cfg.defaultHostBudget)))
+          .filter($"fetch_ordinal" <= effBudget)
+          // column order matched to the narrow plan's join output
+          // (url_hash leads) so the two plans are drop-in interchangeable
+          .select(($"url_hash" +: eligible.columns.filterNot(_ == "url_hash")
+            .map(col).toSeq :+ $"fetch_ordinal"): _*)
+          .withColumn("sched_delay_ms", ($"fetch_ordinal" - 1) * hostDelay)
+      else {
+        val rankedKeys = eligible
+          .select($"url_hash", $"host", $"priority_ts")
+          .withColumn("fetch_ordinal", row_number().over(w))
+          .join(budgetDf, $"host" === $"b_host", "left_outer")
+          .withColumn("host_budget", coalesce($"b_budget", lit(cfg.defaultHostBudget)))
+          .filter($"fetch_ordinal" <= effBudget)
+          .select($"url_hash", $"fetch_ordinal")
+        // no broadcast hint: with a politeness-bounded batch AQE broadcasts
+        // the key set; an unbounded batch (keys ≈ frontier) falls to
+        // rankMode's direct plan instead of a batch-sized broadcast
+        eligible
+          .join(rankedKeys, Seq("url_hash"))
+          .withColumn("sched_delay_ms", ($"fetch_ordinal" - 1) * hostDelay)
+      }
 
     // ---- fetch = lookup into the pages corpus (S1 analog; in tests "fetch"
     // is this join per the driver instruction — no network). left join keeps
@@ -779,6 +823,7 @@ class CrawlEngine(
     // the one materializing action; also the exact count the ledger
     // arithmetic needs (replaces the write job's piggybacked Observation)
     val schedCount = timed("sched_rank")(schedDf.count())
+    lastSchedCount = schedCount
 
     val fetchedRaw =
       if (cfg.broadcastScheduled)

@@ -198,6 +198,26 @@ class CrawlSpec extends AnyFunSuite {
     assert(ordKey(e1) == ordKey(e2), "per-host fetch order depends on partitioning")
   }
 
+  test("rankMode direct == narrow: identical fetched sets and per-host ordinals (r5)") {
+    // The two rank plans (narrow projection + key join-back vs one wide
+    // window) must be drop-in interchangeable — same window spec, same
+    // budget filter, url_hash tiebreak. Budget 2 binds (both plans' filters
+    // do real work) and sharded ranking covers the effBudget split path.
+    def runWith(mode: String): CrawlEngine = {
+      val e = new CrawlEngine(spark, pagesDF, tmp(),
+        CrawlConfig(defaultHostBudget = 2, shufflePartitions = 5,
+          saltBuckets = 4, shardedRanking = true, rankMode = mode))
+      e.initialize(seeds(5)); e.run(3); e
+    }
+    val (en, ed) = (runWith("narrow"), runWith("direct"))
+    def key(e: CrawlEngine) = e.fetched().get
+      .select("host", "batch_id", "fetch_ordinal", "url_hash", "sched_delay_ms")
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getInt(2), r.getLong(3), r.getLong(4)))
+      .sorted.toSeq
+    assert(key(en) == key(ed), "rank plans disagree")
+    assert(en.frontier().count() == ed.frontier().count())
+  }
+
   test("robots gating: disallowed prefixes never fetched and leave the frontier") {
     val megaHost = "h0.example.test"
     val eng = new CrawlEngine(spark, pagesDF, tmp(),
