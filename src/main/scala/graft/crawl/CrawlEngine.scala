@@ -517,8 +517,11 @@ class CrawlEngine(
   private def buildBlobsFresh(v: Long, seenCount: Long): Unit = {
     bloomFullBuilds += 1
     blobCapacity = math.max(4L * seenCount / cfg.bloomShards + 1, 65536L)
-    setSnapshot(buildShardBlobs(seen(v).select("url_hash"), blobCapacity), v)
-    persistBlobs(v)
+    persistSnapshotAgg(
+      seen(v).select("url_hash")
+        .groupBy(pmod($"url_hash", lit(cfg.bloomShards.toLong)).as("shard"))
+        .agg(BloomSeen.bloom_build($"url_hash", blobCapacity, cfg.bloomFpp).as("blob")),
+      v)
   }
 
   /** Lazy init: load the persisted blob snapshot and replay seen-deltas since
@@ -549,10 +552,9 @@ class CrawlEngine(
     }
     val rows = snapDf.collect()
     bloomBlobRowsCollected += rows.length
+    if (rows.isEmpty) { buildBlobsFresh(committed, seenCount); return }
     blobCapacity = rows.head.getAs[Long]("capacity")
-    val blobs = new Array[Array[Byte]](cfg.bloomShards)
-    rows.foreach(r => blobs(r.getAs[Int]("shard")) = r.getAs[Array[Byte]]("blob"))
-    setSnapshot(blobs, v)
+    setSnapshot(blobArrayOf(rows), v)
     // replay post-snapshot seen-deltas as one recent-tier entry — built
     // executor-side; the driver never materializes the replayed keys
     store.readDeltaAdds("seen", v, committed).foreach { d =>
@@ -561,18 +563,39 @@ class CrawlEngine(
     }
   }
 
-  /** Persist the current snapshot tier (S rows). Only called right after
-    * setSnapshot, when the recent tier is empty. */
-  private def persistBlobs(v: Long): Unit = if (bloomBc != null) {
-    // fpp + shard count ride the snapshot (ADVICE r3): a resume under
-    // changed bloom parameters must detect the incompatibility and rebuild
-    // instead of folding mismatched filters.
-    val rows = bloomBc.value.zipWithIndex.map { case (b, i) =>
-      (i, b, blobCapacity, cfg.bloomFpp, cfg.bloomShards)
-    }
-    store.write("bloom", v,
-      rows.toSeq.toDF("shard", "blob", "capacity", "fpp", "shards").coalesce(1))
-    bloomSnapshotV = v
+  /** S snapshot rows → dense per-shard array; shards with no row (no key has
+    * ever hashed there) decode as empty filters of the snapshot's capacity —
+    * merge-compatible and probe-correct (might-contain = false). */
+  private def blobArrayOf(rows: Array[org.apache.spark.sql.Row]): Array[Array[Byte]] = {
+    val bos = new ByteArrayOutputStream()
+    BloomFilter.create(blobCapacity, cfg.bloomFpp).writeTo(bos)
+    val empty = bos.toByteArray
+    val out = Array.fill[Array[Byte]](cfg.bloomShards)(empty)
+    rows.foreach(r => out(r.getAs[Int]("shard")) = r.getAs[Array[Byte]]("blob"))
+    out
+  }
+
+  /** Persist + install a snapshot tier from its per-shard aggregate, WITHOUT
+    * routing the blob bytes through a driver-built plan: the aggregate writes
+    * straight to parquet (a distributed job — each reduce task emits its own
+    * shard's blob; task closures carry only the plan), then the S rows read
+    * back for the executor-shipped broadcast. The previous shape collected
+    * the blobs and wrote them back through a driver-local DataFrame, which
+    * embedded O(|seen|) bytes in the write task's closure — the recorded
+    * 3.5 MiB `task of very large size` warning at sf0.1, and hundreds of MB
+    * per task at production |seen| (VERDICT r4 follow-up).
+    * fpp + shard count ride the snapshot (ADVICE r3): a resume under changed
+    * bloom parameters must detect the incompatibility and rebuild instead of
+    * folding mismatched filters. */
+  private def persistSnapshotAgg(agg: DataFrame, v: Long): Unit = {
+    store.write("bloom", v, agg.select(
+      $"shard".cast("int").as("shard"), $"blob",
+      lit(blobCapacity).as("capacity"), lit(cfg.bloomFpp).as("fpp"),
+      lit(cfg.bloomShards).as("shards")))
+    val rows = store.read("bloom", v, sys.error("bloom snapshot unreadable after write"))
+      .select("shard", "blob").collect()
+    bloomBlobRowsCollected += rows.length
+    setSnapshot(blobArrayOf(rows), v)
   }
 
   /** Compaction-point refresh: fold the recent tiers into the next snapshot
@@ -596,14 +619,10 @@ class CrawlEngine(
         .map(_.select(pmod($"url_hash", lit(cfg.bloomShards.toLong)).as("shard"),
           lit(null).cast("binary").as("blob"), $"url_hash"))
       val unioned = deltas.fold(blobRel)(blobRel.unionByName(_))
-      val rows = unioned.groupBy("shard")
-        .agg(BloomSeen.bloom_merge($"blob", $"url_hash", blobCapacity, cfg.bloomFpp).as("blob"))
-        .collect()
-      bloomBlobRowsCollected += rows.length
-      val blobs = new Array[Array[Byte]](cfg.bloomShards)
-      rows.foreach(r => blobs(r.getLong(0).toInt) = r.getAs[Array[Byte]]("blob"))
-      setSnapshot(blobs, v)
-      persistBlobs(v)
+      persistSnapshotAgg(
+        unioned.groupBy("shard")
+          .agg(BloomSeen.bloom_merge($"blob", $"url_hash", blobCapacity, cfg.bloomFpp).as("blob")),
+        v)
     }
   }
 
