@@ -365,6 +365,25 @@ object SparkEntry {
         nCentroids = 16, nprobe = 4)
     }),
 
+    // embedding-cosine near-dup (the vector member of the dedup family).
+    // The synthetic embeddings are mutually near-orthogonal (max pairwise
+    // cosine ≈ 0.47), so the query PLANTS jittered copies of the first 50
+    // vectors — per-coordinate scale factors in [0.98, 1.02] derived from
+    // (vec_id, index) with order-identical double arithmetic on both
+    // engines — and the operator must recover exactly the planted pairs at
+    // minCos 0.99 through banded-LSH candidates + exact-cosine verify.
+    "q74_embed_near_dups" -> ((s, dir) => {
+      val base = t(s, dir, "embeddings")
+        .select(col("vec_id"), transform(col("embedding"), x => x.cast("double")).as("embedding"))
+      val planted = base.filter(col("vec_id") < 50).select(
+        (col("vec_id") + lit(1000L)).as("vec_id"),
+        transform(col("embedding"), (x, i) =>
+          x * (lit(1.0d) + lit(0.02d) *
+            ((((col("vec_id") * 31 + i.cast("long")) % 5).cast("double") - lit(2.0d)) / lit(2.0d)))
+        ).as("embedding"))
+      Dedup.embedNearDups(base.unionByName(planted), minCos = 0.99)
+    }),
+
     // ---- training-data pipeline: text analysis -----------------------------
     "q30_langid" -> ((s, dir) =>
       t(s, dir, "documents")
@@ -956,6 +975,12 @@ object SparkEntry {
       row.zipWithIndex.map { case (w, d) => s"($b,$d,${w}::DOUBLE)" }
     }.mkString(",")
 
+  /** q74's 64 banding planes (8 bands × 8 bits), same bit-exact inlining. */
+  private lazy val bandPlaneValues: String =
+    Similarity.hyperplane(64, 64).zipWithIndex.flatMap { case (row, b) =>
+      row.zipWithIndex.map { case (w, d) => s"($b,$d,${w}::DOUBLE)" }
+    }.mkString(",")
+
   def oracleSql: Map[String, String] = Map(
 
     "q26_ann_lsh_topk" ->
@@ -1013,6 +1038,36 @@ object SparkEntry {
          |             JOIN c ON c.neighbor_id = cand.neighbor_id)
          |SELECT query_id, neighbor_id, CAST(rk AS BIGINT) AS rk, cos_r
          |FROM scored WHERE rk <= 5""".stripMargin,
+
+    // q74: the jitter factors, band signatures, and exact-cosine verify are
+    // all re-derived in DuckDB; the only shared inputs are the embeddings
+    // parquet and the plane literals (operator constants). DuckDB's
+    // generate_subscripts is 1-based → idx - 1 matches Spark's 0-based
+    // transform index; per-band 8-bit signatures keep every SUM far from
+    // the BIGINT sign bit (the simhash64 overflow trap).
+    "q74_embed_near_dups" ->
+      s"""WITH base AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+         | jitsrc AS (
+         |   SELECT vec_id, idx, val,
+         |     1.0 + 0.02 * ((CAST((vec_id * 31 + idx - 1) % 5 AS DOUBLE) - 2.0) / 2.0) AS f
+         |   FROM (SELECT vec_id, unnest(v) AS val, generate_subscripts(v, 1) AS idx
+         |         FROM base WHERE vec_id < 50)),
+         | jit AS (SELECT vec_id + 1000 AS vec_id, list(val * f ORDER BY idx) AS v
+         |         FROM jitsrc GROUP BY vec_id),
+         | corpus AS (SELECT vec_id, v FROM base UNION ALL SELECT vec_id, v FROM jit),
+         | p AS (SELECT * FROM (VALUES $bandPlaneValues) t(b, d, w)),
+         | dots AS (SELECT c.vec_id, p.b, ROUND(SUM(c.v[p.d + 1] * p.w), 6) AS dp
+         |          FROM corpus c, p GROUP BY c.vec_id, p.b),
+         | bsig AS (SELECT vec_id, b // 8 AS band,
+         |            CAST(SUM(CASE WHEN dp > 0 THEN (1::BIGINT << (b % 8)) ELSE 0 END) AS BIGINT) AS bsig
+         |          FROM dots GROUP BY vec_id, b // 8),
+         | cand AS (SELECT DISTINCT a.vec_id AS id_a, b2.vec_id AS id_b
+         |          FROM bsig a JOIN bsig b2
+         |            ON a.band = b2.band AND a.bsig = b2.bsig AND a.vec_id < b2.vec_id),
+         | scored AS (SELECT id_a, id_b, ROUND(list_cosine_similarity(ca.v, cb.v), 6) AS cos_r
+         |            FROM cand JOIN corpus ca ON ca.vec_id = cand.id_a
+         |                      JOIN corpus cb ON cb.vec_id = cand.id_b)
+         |SELECT id_a, id_b, cos_r FROM scored WHERE cos_r >= 0.99""".stripMargin,
 
     "q01_pricing_summary" ->
       """SELECT l_returnflag, l_linestatus,

@@ -19,7 +19,9 @@ import org.apache.spark.sql.{Column, DataFrame}
  *  - SimHash: per-doc 16-bit signature (demo width; production uses 64) via
  *    bitwise majority over token hashes — one groupBy, no joins; near-dup
  *    pairs by hamming distance over bucketed prefixes;
- *  - embedding cosine: see Similarity (LSH hyperplane buckets).
+ *  - embedding cosine: [[embedNearDups]] — banded random-hyperplane LSH
+ *    candidates (equality join on per-band signatures), exact-cosine verify;
+ *    the query-side ANN variants live in Similarity.
  *
  * Everything is expressed with codegen'd built-ins (split/explode/md5/agg) —
  * no UDFs — so whole-stage codegen covers the hot paths. md5 is used as the
@@ -206,6 +208,76 @@ object Dedup {
       .withColumn("hamming", expr("bit_count(sh_a ^ sh_b)").cast("long"))
       .filter(col("hamming") <= maxDist)
       .select(col("doc_a"), col("doc_b"), col("hamming"))
+  }
+
+  /**
+   * Embedding-cosine near-duplicate pairs — the vector-space member of the
+   * dedup family (exact / jaccard / minhash / simhash / THIS): all pairs
+   * with round(cosine, 6) >= minCos, candidates from banded random-hyperplane
+   * LSH (Similarity.hyperplane planes, shared with the ANN oracles).
+   *
+   * Scale shape: each vector contributes `bands` rows of
+   * (band, bandSig, id) — an 8-byte-key explode, the vector itself never
+   * rides it — candidates come from an equality self-join on
+   * (band, bandSig) with id< ordering + pair-distinct, and only the
+   * surviving candidate pairs join back to fetch the two vectors for the
+   * exact cosine verify. Never an O(n²) cross join. Recall is tuned by
+   * bands × bitsPerBand exactly like MinHash-LSH banding: a near-parallel
+   * pair disagrees on a band bit only when that hyperplane's margin is
+   * tiny, so P(all bands differ) vanishes as cosine → 1.
+   *
+   * Band signatures are built per band (bitsPerBand ≤ 62 each) rather than
+   * as one 64-bit word — bit 63 of a packed word would need bit_or assembly
+   * on the Spark side and overflows DuckDB's BIGINT << in the oracle (the
+   * same trap [[simhash64]] documents).
+   *
+   * `maxBucket` is the skew guard, like [[jaccardPairs]]'s maxDf: a
+   * degenerate bucket with d members contributes d² candidate pairs; with a
+   * cap, buckets larger than maxBucket are dropped from candidate
+   * generation (a vector pair colliding ONLY in hot buckets is lost —
+   * document the recall trade). None = exact banding semantics (the oracle
+   * path); at 100 TB set a cap.
+   */
+  def embedNearDups(corpus: DataFrame, minCos: Double, bands: Int = 8,
+      bitsPerBand: Int = 8, dims: Int = 64, maxBucket: Option[Long] = None,
+      idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
+    require(bands >= 1 && bitsPerBand >= 1 && bitsPerBand <= 62,
+      s"bands=$bands bitsPerBand=$bitsPerBand out of range")
+    val planes = Similarity.hyperplane(bands * bitsPerBand, dims)
+    val vecD = transform(col(vecCol), x => x.cast("double"))
+    // per-band signature: sign bits of the band's hyperplane dots, packed
+    // little-endian into a long; round(dot, 6) is the cross-engine parity
+    // class every ANN oracle uses
+    val bandStructs = (0 until bands).map { b =>
+      val sig = (0 until bitsPerBand).map { j =>
+        val plane = array(planes(b * bitsPerBand + j).map(lit): _*)
+        when(round(Similarity.dot(vecD, plane), 6) > 0, lit(1L << j)).otherwise(lit(0L))
+      }.reduce(_ + _)
+      struct(lit(b).as("band"), sig.as("bsig"))
+    }
+    val bandedAll = corpus
+      .select(col(idCol).as("id"), explode(array(bandStructs: _*)).as("bs"))
+      .select(col("id"), col("bs.band").as("band"), col("bs.bsig").as("bsig"))
+    val banded = maxBucket match {
+      case Some(cap) =>
+        val hot = bandedAll.groupBy(col("band"), col("bsig"))
+          .agg(count(lit(1)).as("n")).filter(col("n") > cap)
+          .select(col("band"), col("bsig"))
+        bandedAll.join(broadcast(hot), Seq("band", "bsig"), "left_anti")
+      case None => bandedAll
+    }
+    val cands = banded.as("a").join(banded.as("b"),
+        col("a.band") === col("b.band") && col("a.bsig") === col("b.bsig") &&
+          col("a.id") < col("b.id"))
+      .select(col("a.id").as("id_a"), col("b.id").as("id_b"))
+      .distinct()
+    val vecs = corpus.select(col(idCol).as("vid"), vecD.as("v"))
+    cands
+      .join(vecs.select(col("vid").as("id_a"), col("v").as("va")), Seq("id_a"))
+      .join(vecs.select(col("vid").as("id_b"), col("v").as("vb")), Seq("id_b"))
+      .withColumn("cos_r", round(Similarity.cosine(col("va"), col("vb")), 6))
+      .filter(col("cos_r") >= minCos)
+      .select(col("id_a"), col("id_b"), col("cos_r"))
   }
 
   /** Near-dup pairs by simhash hamming distance <= maxDist. Demo: full

@@ -70,6 +70,41 @@ class PipelineSpec extends AnyFunSuite {
     assert(capped < uncapped / 5, s"df-cap failed to bound candidates: $capped vs $uncapped")
   }
 
+  test("embedNearDups: recovers planted jittered copies; bucket cap bounds hot clusters") {
+    val base = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+      .filter($"vec_id" < 100)
+      .select($"vec_id", transform($"embedding", x => x.cast("double")).as("embedding"))
+    // plant near-dups: jittered copies (coordinate scale factors in
+    // [0.98, 1.02]) of the first 20 vectors — same derivation as q74
+    val planted = base.filter($"vec_id" < 20).select(
+      ($"vec_id" + 1000L).as("vec_id"),
+      transform($"embedding", (x, i) =>
+        x * (lit(1.0d) + lit(0.02d) *
+          (((($"vec_id" * 31 + i.cast("long")) % 5).cast("double") - lit(2.0d)) / lit(2.0d))))
+        .as("embedding"))
+    val corpus = base.unionByName(planted)
+    val pairs = Dedup.embedNearDups(corpus, minCos = 0.99)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    // every planted copy pairs with exactly its original; the base vectors
+    // are mutually near-orthogonal (max pairwise cosine ~0.47) so nothing else
+    assert(pairs == (0L until 20L).map(i => (i, i + 1000L)).toSet)
+
+    // hot-bucket cap: 30 identical clones of vector 0 collapse into one
+    // oversized bucket per band; maxBucket drops those buckets from
+    // candidate generation while ordinary size-2 buckets keep matching
+    val clones = spark.range(2000, 2030).toDF("vec_id")
+      .crossJoin(base.filter($"vec_id" === 0).select($"embedding"))
+    val corpus2 = corpus.unionByName(clones)
+    val uncapped = Dedup.embedNearDups(corpus2, minCos = 0.99)
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    assert(uncapped.length >= 30 * 31 / 2, s"clone cluster should explode: ${uncapped.length}")
+    val capped = Dedup.embedNearDups(corpus2, minCos = 0.99, maxBucket = Some(5L))
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(!capped.exists(p => p._1 >= 2000 || p._2 >= 2000), "hot cluster not dropped")
+    assert(capped.contains((1L, 1001L)), "cap must not lose cold-bucket pairs")
+    assert(capped.size < uncapped.length / 5)
+  }
+
   // ---------- U2: LLM enrichment stage ----------
   test("enrich: batched partition-local client adds a deterministic llm_analysis struct") {
     val d = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
