@@ -415,6 +415,28 @@ object SparkEntry {
         .select(col("media_id"), col("kind"), col("sniffed_ext"), col("byte_len"))
     }),
 
+    // frame sampling: n_frames is container metadata (derived
+    // deterministically here), the even-spacing arithmetic and the explode
+    // plumbing are the oracle-checked part; the stub frame payload column is
+    // asserted in ScalaTest (its pixels are fake by declaration, like q35's
+    // stub dims)
+    "q75_frame_sample" -> ((s, dir) => {
+      val media = Multimodal.synthMedia(s, t(s, dir, "part"), "p_partkey").toDF()
+        .filter(col("kind") === "video")
+        .withColumn("n_frames", (lit(1L) + pmod(col("media_id"), lit(240L))).cast("int"))
+      Multimodal.frameSample(media, targetFrames = 8)
+        .select(col("media_id"), col("n_frames"), col("frame_idx"))
+    }),
+
+    // resize planning: fit-within-box dims in exact integer arithmetic
+    "q76_resize_plan" -> ((s, dir) => {
+      val media = t(s, dir, "part").select(col("p_partkey").cast("long").as("media_id"))
+        .withColumn("width", (lit(16L) + pmod(col("media_id") * 7, lit(4096L))).cast("int"))
+        .withColumn("height", (lit(16L) + pmod(col("media_id") * 13, lit(2160L))).cast("int"))
+      Multimodal.resizePlan(media, maxW = 640, maxH = 480)
+        .select(col("media_id"), col("width"), col("height"), col("out_w"), col("out_h"))
+    }),
+
     // ---- U2: per-row LLM enrichment (batched partition-local client) -------
     "q36_llm_enrich" -> ((s, dir) =>
       Enrich.enrichDf(t(s, dir, "documents"))
@@ -1364,6 +1386,29 @@ object SparkEntry {
         | CAST(CASE WHEN p_partkey % 4 = 0 THEN 21 WHEN p_partkey % 4 = 1 THEN 24
         |           WHEN p_partkey % 4 = 2 THEN 20 ELSE 16 END AS BIGINT) AS byte_len
         |FROM part""".stripMargin,
+
+    "q75_frame_sample" ->
+      """WITH v AS (SELECT CAST(p_partkey AS BIGINT) AS media_id,
+        |            CAST(1 + p_partkey % 240 AS INT) AS n_frames
+        |           FROM part WHERE p_partkey % 4 = 2)
+        |SELECT media_id, n_frames,
+        | CAST(CASE WHEN n_frames >= 8 THEN (k * n_frames) // 8 ELSE k END AS INT) AS frame_idx
+        |FROM v, range(0, 8) t(k)
+        |WHERE k < least(n_frames, 8)""".stripMargin,
+
+    "q76_resize_plan" ->
+      """WITH m AS (SELECT CAST(p_partkey AS BIGINT) AS media_id,
+        |            CAST(16 + (p_partkey * 7) % 4096 AS INT) AS width,
+        |            CAST(16 + (p_partkey * 13) % 2160 AS INT) AS height
+        |           FROM part)
+        |SELECT media_id, width, height,
+        | CAST(CASE WHEN width <= 640 AND height <= 480 THEN width
+        |      WHEN width * 480 >= height * 640 THEN 640
+        |      ELSE GREATEST(1, (width * 480) // height) END AS INT) AS out_w,
+        | CAST(CASE WHEN width <= 640 AND height <= 480 THEN height
+        |      WHEN width * 480 >= height * 640 THEN GREATEST(1, (height * 640) // width)
+        |      ELSE 480 END AS INT) AS out_h
+        |FROM m""".stripMargin,
 
     "q25_ann_brute_topk" ->
       """SELECT query_id, neighbor_id, rk, cos_r FROM (

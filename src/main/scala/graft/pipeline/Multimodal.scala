@@ -87,6 +87,62 @@ object Multimodal {
     }
   }
 
+  /**
+   * Resize planning — the metadata half of a resize stage (X-brief: resize
+   * is decode → scale kernel → encode; the KERNEL is the stubbed decoder's
+   * concern, but the dimension arithmetic, never-upscale rule, and plan
+   * shape are real and exactly checkable). Fit-within-box preserving aspect
+   * ratio, integer arithmetic only (`div`, no float rounding to drift vs an
+   * oracle): width-bound when w·maxH ≥ h·maxW, else height-bound; images
+   * already inside the box pass through; degenerate scaled-to-zero edges
+   * clamp to 1. Pure column expressions — codegen'd, no shuffle.
+   */
+  def resizePlan(media: DataFrame, maxW: Int, maxH: Int,
+      wCol: String = "width", hCol: String = "height"): DataFrame = {
+    val w = col(wCol).cast("long")
+    val h = col(hCol).cast("long")
+    val widthBound = w * maxH >= h * maxW
+    val outW = when(w <= maxW && h <= maxH, w)
+      .when(widthBound, lit(maxW.toLong))
+      .otherwise(greatest(lit(1L), expr(s"(`$wCol` * ${maxH}L) div `$hCol`")))
+    val outH = when(w <= maxW && h <= maxH, h)
+      .when(widthBound, greatest(lit(1L), expr(s"(`$hCol` * ${maxW}L) div `$wCol`")))
+      .otherwise(lit(maxH.toLong))
+    media.withColumn("out_w", outW.cast("int")).withColumn("out_h", outH.cast("int"))
+  }
+
+  /**
+   * Frame sampling — evenly-spaced frame indices per video (the shuffle-free
+   * explode half of a frame-extract stage; the pixel fetch is the stubbed
+   * decoder's concern). `n_frames` comes from a metadata COLUMN — in a real
+   * pipeline the container header, here derived deterministically — so the
+   * sampling arithmetic is exactly oracle-checkable. Picks
+   * min(targetFrames, n_frames) indices: k·n_frames div targetFrames for
+   * k < targetFrames when n_frames ≥ targetFrames (distinct because the
+   * stride ≥ 1), else every frame. Pure per-row array ops + one explode —
+   * no shuffle, frame payload slicing rides the same row.
+   */
+  def frameSample(media: DataFrame, targetFrames: Int,
+      nFramesCol: String = "n_frames", bytesCol: String = "bytes"): DataFrame = {
+    require(targetFrames >= 1, s"targetFrames $targetFrames must be >= 1")
+    val n = col(nFramesCol).cast("long")
+    val m = least(n, lit(targetFrames.toLong))
+    // sequence(0, m-1) DESCENDS when m = 0 — zero-frame media must instead
+    // drop out of the explode entirely
+    val sampled = media
+      .withColumn("k",
+        explode(when(m >= 1, sequence(lit(0L), m - 1))
+          .otherwise(array().cast("array<bigint>"))))
+      .withColumn("frame_idx",
+        when(n >= targetFrames, expr(s"(k * `$nFramesCol`) div $targetFrames"))
+          .otherwise(col("k")).cast("int"))
+      .drop("k")
+    // stub frame payload: a 4-byte slice at a frame-dependent offset — real
+    // plumbing (binary slicing per exploded row), fake pixels
+    sampled.withColumn("frame_bytes",
+      expr(s"substring(`$bytesCol`, cast(pmod(frame_idx, length(`$bytesCol`)) + 1 as int), 4)"))
+  }
+
   /** Deterministic synthetic media corpus derived from any keyed table —
     * exercises real BinaryType columns end-to-end. */
   def synthMedia(spark: SparkSession, keys: DataFrame, keyCol: String): Dataset[MediaRow] = {

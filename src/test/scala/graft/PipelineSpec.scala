@@ -258,6 +258,54 @@ class PipelineSpec extends AnyFunSuite {
     assert(complete == 0)
   }
 
+  test("frameSample: even spacing, both branches, payload slices ride the row") {
+    val media = Multimodal.synthMedia(spark, spark.range(1000).toDF("k"), "k").toDF()
+      .filter($"kind" === "video")
+      .withColumn("n_frames", (lit(1L) + pmod($"media_id", lit(240L))).cast("int"))
+    val out = Multimodal.frameSample(media, targetFrames = 8).persist()
+    val byMedia = out.select($"media_id", $"n_frames", $"frame_idx")
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getInt(2)))
+      .groupBy(_._1)
+    byMedia.foreach { case (id, rows) =>
+      val n = rows.head._2
+      val idxs = rows.map(_._3).sorted
+      assert(idxs.length == math.min(8, n), s"media $id: ${idxs.length} frames for n=$n")
+      assert(idxs.distinct.length == idxs.length, s"media $id: duplicate frame idx")
+      assert(idxs.forall(i => i >= 0 && i < n), s"media $id: idx out of range")
+      if (n >= 8) assert(idxs.toSeq == (0 until 8).map(k => k * n / 8), s"media $id spacing")
+      else assert(idxs.toSeq == (0 until n), s"media $id short-video branch")
+    }
+    // both branches actually exercised
+    assert(byMedia.exists(_._2.head._2 < 8) && byMedia.exists(_._2.head._2 >= 8))
+    // payload: 4-byte slice (or to end-of-blob), non-null for non-empty bytes
+    val pay = out.select($"frame_bytes").collect().map(_.getAs[Array[Byte]](0))
+    assert(pay.forall(b => b != null && b.length >= 1 && b.length <= 4))
+    out.unpersist()
+  }
+
+  test("resizePlan: fits the box, never upscales, preserves aspect ordering") {
+    val media = spark.range(2000).toDF("media_id")
+      .withColumn("width", (lit(16L) + pmod($"media_id" * 7, lit(4096L))).cast("int"))
+      .withColumn("height", (lit(16L) + pmod($"media_id" * 13, lit(2160L))).cast("int"))
+    val out = Multimodal.resizePlan(media, maxW = 640, maxH = 480)
+      .select($"width", $"height", $"out_w", $"out_h")
+      .collect().map(r => (r.getInt(0), r.getInt(1), r.getInt(2), r.getInt(3)))
+    out.foreach { case (w, h, ow, oh) =>
+      assert(ow >= 1 && oh >= 1 && ow <= 640 && oh <= 480, s"($w,$h)->($ow,$oh) outside box")
+      assert(ow <= w && oh <= h, s"($w,$h)->($ow,$oh) upscaled")
+      if (w <= 640 && h <= 480) assert(ow == w && oh == h, "pass-through branch")
+      else {
+        // one side pinned to the box, the other floor-scaled by the same ratio
+        assert(ow == 640 || oh == 480, s"($w,$h)->($ow,$oh) neither side pinned")
+        if (ow == 640) assert(oh == math.max(1, h.toLong * 640 / w).toInt)
+        else assert(ow == math.max(1, w.toLong * 480 / h).toInt)
+      }
+    }
+    assert(out.exists { case (w, h, _, _) => w <= 640 && h <= 480 })   // pass-through
+    assert(out.exists { case (w, h, _, _) => w.toLong * 480 >= h.toLong * 640 && (w > 640 || h > 480) })
+    assert(out.exists { case (w, h, _, _) => w.toLong * 480 < h.toLong * 640 && (w > 640 || h > 480) })
+  }
+
   // ---------- query pack ----------
   val ev = Seq(
     (1L, "2024-01-01 00:00:00", 7L), (2L, "2024-01-01 00:10:00", 7L),
