@@ -531,7 +531,12 @@ object Bench {
       // per-round sec ratios; adjacent runs share their window, the ratio
       // cancels it. sec_full/sec_head stay min-per-arm for readability; the
       // ratio is the robust head-vs-full verdict.
+      // Warm up BOTH arms: the head path compiles its own plans, so a
+      // full-only warmup leaves the first head run paying head-path JIT —
+      // the r5 second-cut artifact recorded exactly that (first head run
+      // 149 s in a sequence that settled at 33 s).
       boundedCrawl(head = false) // discarded warmup
+      boundedCrawl(head = true)  // discarded warmup (head-path codegen/JIT)
       val headArms = Seq(false, true, true, false, false, true).map(h => h -> boundedCrawl(h))
       def armMin(h: Boolean) = headArms.collect { case (`h`, r) => r }.minBy(_._1)
       val ((fullSec, fullRows), (headSec, headRows)) = (armMin(false), armMin(true))
@@ -561,6 +566,7 @@ object Bench {
         f / d
       }
       run(p = false) // discarded warmup
+      run(p = true)  // discarded warmup (paced-path codegen/JIT)
       val arms = Seq(false, true, true, false, false, true).map(p => p -> run(p))
       def tpOf(p: Boolean) = arms.collect { case (`p`, t) => t }.max
       val (ut, pt) = (tpOf(false), tpOf(true))

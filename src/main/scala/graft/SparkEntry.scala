@@ -733,6 +733,34 @@ object SparkEntry {
         col("n_outlinks").cast("long").as("n_outlinks"))
     }),
 
+    // the budget-bound crawl PLUS robots-derived pacing, HARD oracle: two
+    // hosts declare different Crawl-delays in raw robots.txt (h0 1.5 s, h2
+    // 0.25 s; others fall back to the config default), folded in through
+    // Robots.configure — and the modeled politeness lineage itself
+    // (sched_delay_ms = (ordinal−1) × host delay) is re-derived in DuckDB
+    // on top of q70's batch-by-batch schedule. This puts the whole robots →
+    // perHostDelayMs → scheduling-delay path behind the external hash gate
+    // (r5: the path was ScalaTest-gated only).
+    "q77_crawl_paced" -> ((s, dir) => {
+      val since = new java.sql.Timestamp((OracleBaseSec - 12600L) * 1000)
+      def end(offSec: Long) = new java.sql.Timestamp((OracleBaseSec + offSec) * 1000)
+      def root(u: Long) = s"https://h${u % 10}.example.test/u/$u/p/0"
+      val eng = crawlOracleEngine(s, dir, budget = 2, seedSpecs = Some(Seq(
+          Seed("seed0", root(0), since, end(3600)),
+          Seed("seed10", root(10), since, end(1800)),
+          Seed("seed20", root(20), since, end(900)),
+          Seed("seed2", root(2), since, end(3600)))),
+        robotsTxt = Seq(
+          "h0.example.test" -> "User-agent: *\nCrawl-delay: 1.5",
+          "h2.example.test" -> "User-agent: *\nCrawl-delay: 0.25"))
+      eng.run(4)
+      eng.fetched().get.select(col("url_canon"), col("host"), col("seed_id"),
+        col("depth").cast("long").as("depth"), col("batch_id"),
+        col("fetch_ordinal").cast("long").as("fetch_ordinal"),
+        col("n_outlinks").cast("long").as("n_outlinks"),
+        col("sched_delay_ms").cast("long").as("sched_delay_ms"))
+    }),
+
     // ---- S16: composed export/report job (util/pdf_exporter.py:142-241):
     // per-customer-year rollup (q13 shape) + top-k orders packed in rank
     // order (q02 shape) + broadcast dim joins (q04 shape), WRITTEN as a
@@ -897,16 +925,22 @@ object SparkEntry {
       robots: Seq[(String, String)] = Nil,
       budget: Int = 1000000,
       seedSpecs: Option[Seq[Seed]] = None,
-      caps: Map[String, Int] = Map.empty): CrawlEngine = {
+      caps: Map[String, Int] = Map.empty,
+      robotsTxt: Seq[(String, String)] = Nil): CrawlEngine = {
     // one scratch state dir per distinct oracle configuration, CLEARED per
     // invocation (repeated bench runs reuse it instead of leaking temp dirs)
     val st = scratchFresh("crawl_oracle_" +
-      java.lang.Integer.toHexString((headTable, robots, budget, seedSpecs, caps).hashCode))
+      java.lang.Integer.toHexString(
+        (headTable, robots, budget, seedSpecs, caps, robotsTxt).hashCode))
     val corpus = crawlOracleCorpusCached(s, dir)
+    val cfg0 = CrawlConfig(defaultHostBudget = budget, maxDepth = 64, shufflePartitions = 8,
+      detailedMetrics = false, headTable = headTable, robotsDisallow = robots,
+      expansionCaps = caps)
+    // robotsTxt: RAW per-host robots.txt folded in through the production
+    // one-call wiring (gating rules + Crawl-delay pacing) — q77 exercises
+    // the robots→perHostDelayMs path end-to-end, not a hand-set delay map
     val eng = new CrawlEngine(s, corpus, st,
-      CrawlConfig(defaultHostBudget = budget, maxDepth = 64, shufflePartitions = 8,
-        detailedMetrics = false, headTable = headTable, robotsDisallow = robots,
-        expansionCaps = caps))
+      if (robotsTxt.isEmpty) cfg0 else graft.crawl.Robots.configure(cfg0, robotsTxt))
     val since = new java.sql.Timestamp((OracleBaseSec - 12600L) * 1000)
     val end = new java.sql.Timestamp((OracleBaseSec + 3600L) * 1000)
     eng.initialize(seedSpecs.getOrElse((0L until 3L).map(u => Seed(s"seed$u",
@@ -928,7 +962,9 @@ object SparkEntry {
    * semantics); fr_{b+1} = fr_b ∖ sched_b ∪ adds_b. Unscheduled rows stay
    * in the frontier — THE paging continuation the budget path is about.
    */
-  private def crawlBudgetOracleSql(batches: Int, budget: Int): String = {
+  private def crawlBudgetOracleSql(batches: Int, budget: Int,
+      delayMsByHostIdx: Map[Long, Long] = Map.empty,
+      defaultDelayMs: Long = 6000L): String = {
     val base = OracleBaseSec
     val sb = new StringBuilder
     sb.append(
@@ -975,6 +1011,17 @@ object SparkEntry {
            |   UNION ALL
            |   SELECT * FROM adds$b)""".stripMargin)
     }
+    // modeled pacing lineage (q77): sched_delay_ms = (ordinal-1) × the
+    // host's delay — robots Crawl-delay where declared, default elsewhere
+    val delayCol =
+      if (delayMsByHostIdx.isEmpty) ""
+      else {
+        val whens = delayMsByHostIdx.toSeq.sortBy(_._1)
+          .map { case (h, d) => s"WHEN $h THEN $d" }.mkString(" ")
+        s""",
+           | CAST((x.ord - 1) *
+           |   (CASE x.u % 10 $whens ELSE $defaultDelayMs END) AS BIGINT) AS sched_delay_ms""".stripMargin
+      }
     sb.append(
       s"""
          |SELECT 'https://h' || (x.u % 10)::VARCHAR || '.example.test/u/' || x.u::VARCHAR || '/p/' || x.p::VARCHAR AS url_canon,
@@ -982,7 +1029,7 @@ object SparkEntry {
          | x.seed_id, x.depth, x.b AS batch_id,
          | x.ord AS fetch_ordinal,
          | CAST((CASE WHEN x.p + 1 < pg.cnt THEN 1 ELSE 0 END)
-         |     + (CASE WHEN x.p % 3 = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_outlinks
+         |     + (CASE WHEN x.p % 3 = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_outlinks$delayCol
          |FROM (${(0 until batches).map(b => s"SELECT *, CAST($b AS BIGINT) AS b FROM sched$b").mkString(" UNION ALL ")}) x
          |JOIN pg ON pg.u = x.u AND pg.p = x.p
          |WHERE x.p <= 3""".stripMargin)
@@ -1590,6 +1637,9 @@ object SparkEntry {
           |FROM nodes WHERE depth = 2""".stripMargin),
 
     "q70_crawl_budget" -> crawlBudgetOracleSql(batches = 4, budget = 2),
+
+    "q77_crawl_paced" -> crawlBudgetOracleSql(batches = 4, budget = 2,
+      delayMsByHostIdx = Map(0L -> 1500L, 2L -> 250L)),
     "q71_crawl_budget_head" -> crawlBudgetOracleSql(batches = 4, budget = 2),
 
     "q72_crawl_linktype_cap" ->
