@@ -412,7 +412,9 @@ object Bench {
       // Measured the best multi-executor fetch shape (r4): the broadcast
       // and semi-filter paths' write_parsed phase is flat across layouts,
       // the bucketed path's scales.
-      val lcbRuns = Seq(1, 4, 4, 1).map(nx => lcCrawl(nx, lcPages, bodyRepeat, mode = "crawlb"))
+      // 3 pairs (was 2): the headline scale-out number is best-per-level, and
+      // this VM's one-per-~6-runs noise spikes can eat a whole pair
+      val lcbRuns = Seq(1, 4, 4, 1, 1, 4).map(nx => lcCrawl(nx, lcPages, bodyRepeat, mode = "crawlb"))
       def lcbTpOf(nx: Int) = lcbRuns.filter(_.nExec == nx).map(_.tp).max
       val (lcbT1, lcbT4) = (lcbTpOf(1), lcbTpOf(4))
       val lcbEff = lcbT4 / (4.0 * lcbT1)
@@ -537,7 +539,11 @@ object Bench {
       // 149 s in a sequence that settled at 33 s).
       boundedCrawl(head = false) // discarded warmup
       boundedCrawl(head = true)  // discarded warmup (head-path codegen/JIT)
-      val headArms = Seq(false, true, true, false, false, true).map(h => h -> boundedCrawl(h))
+      // 5 pairs, not 3: the r5 third-cut artifact recorded single-run noise
+      // spikes of 2.8-4.5× (one per ~6 runs) — a median of 3 pair ratios
+      // tolerates one corrupted pair, a median of 5 tolerates two.
+      val headArms = Seq(false, true, true, false, false, true, true, false, false, true)
+        .map(h => h -> boundedCrawl(h))
       def armMin(h: Boolean) = headArms.collect { case (`h`, r) => r }.minBy(_._1)
       val ((fullSec, fullRows), (headSec, headRows)) = (armMin(false), armMin(true))
       val ratios = headArms.grouped(2).map { case Seq((h1, (s1, _)), (_, (s2, _))) =>
@@ -567,7 +573,9 @@ object Bench {
       }
       run(p = false) // discarded warmup
       run(p = true)  // discarded warmup (paced-path codegen/JIT)
-      val arms = Seq(false, true, true, false, false, true).map(p => p -> run(p))
+      // 5 pairs for the same spike-tolerance reason as head_sched above
+      val arms = Seq(false, true, true, false, false, true, true, false, false, true)
+        .map(p => p -> run(p))
       def tpOf(p: Boolean) = arms.collect { case (`p`, t) => t }.max
       val (ut, pt) = (tpOf(false), tpOf(true))
       val ratios = arms.grouped(2).map { case Seq((p1, t1), (_, t2)) =>
