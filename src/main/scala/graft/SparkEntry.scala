@@ -761,6 +761,29 @@ object SparkEntry {
         col("sched_delay_ms").cast("long").as("sched_delay_ms"))
     }),
 
+    // the engine's per-batch LEDGER (A8) behind the external hash gate: the
+    // sizes the engine maintains by pure ARITHMETIC — newSeenSize = seen +
+    // scheduled, newFrontierSize = frontier − scheduled + adds, no count
+    // jobs (the O(1)-bookkeeping property the 10^10-row frontier depends
+    // on) — plus the scheduled/fetched/not_found split (deferred
+    // out-of-window pages are processed-but-not-fetched; dead-letter urls
+    // are counted, not silently re-scheduled), each re-derived in DuckDB as
+    // honest COUNT(*)s over q70's batch-by-batch CTEs.
+    "q78_crawl_ledger" -> ((s, dir) => {
+      val since = new java.sql.Timestamp((OracleBaseSec - 12600L) * 1000)
+      def end(offSec: Long) = new java.sql.Timestamp((OracleBaseSec + offSec) * 1000)
+      def root(u: Long) = s"https://h${u % 10}.example.test/u/$u/p/0"
+      val eng = crawlOracleEngine(s, dir, budget = 2, seedSpecs = Some(Seq(
+        Seed("seed0", root(0), since, end(3600)),
+        Seed("seed10", root(10), since, end(1800)),
+        Seed("seed20", root(20), since, end(900)),
+        Seed("seed2", root(2), since, end(3600)))))
+      eng.run(4)
+      eng.ledger().get.filter(col("state") === "SUCCESS")
+        .select(col("batch_id"), col("scheduled"), col("fetched"),
+          col("not_found"), col("frontier_size"), col("seen_size"))
+    }),
+
     // ---- S16: composed export/report job (util/pdf_exporter.py:142-241):
     // per-customer-year rollup (q13 shape) + top-k orders packed in rank
     // order (q02 shape) + broadcast dim joins (q04 shape), WRITTEN as a
@@ -964,7 +987,8 @@ object SparkEntry {
    */
   private def crawlBudgetOracleSql(batches: Int, budget: Int,
       delayMsByHostIdx: Map[Long, Long] = Map.empty,
-      defaultDelayMs: Long = 6000L): String = {
+      defaultDelayMs: Long = 6000L,
+      ledger: Boolean = false): String = {
     val base = OracleBaseSec
     val sb = new StringBuilder
     sb.append(
@@ -1022,17 +1046,40 @@ object SparkEntry {
            | CAST((x.ord - 1) *
            |   (CASE x.u % 10 $whens ELSE $defaultDelayMs END) AS BIGINT) AS sched_delay_ms""".stripMargin
       }
-    sb.append(
-      s"""
-         |SELECT 'https://h' || (x.u % 10)::VARCHAR || '.example.test/u/' || x.u::VARCHAR || '/p/' || x.p::VARCHAR AS url_canon,
-         | 'h' || (x.u % 10)::VARCHAR || '.example.test' AS host,
-         | x.seed_id, x.depth, x.b AS batch_id,
-         | x.ord AS fetch_ordinal,
-         | CAST((CASE WHEN x.p + 1 < pg.cnt THEN 1 ELSE 0 END)
-         |     + (CASE WHEN x.p % 3 = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_outlinks$delayCol
-         |FROM (${(0 until batches).map(b => s"SELECT *, CAST($b AS BIGINT) AS b FROM sched$b").mkString(" UNION ALL ")}) x
-         |JOIN pg ON pg.u = x.u AND pg.p = x.p
-         |WHERE x.p <= 3""".stripMargin)
+    if (ledger) {
+      // q78: the engine's per-batch LEDGER row re-derived externally — the
+      // bookkeeping the engine maintains by pure arithmetic (newSeenSize =
+      // seen + scheduled, newFrontierSize = frontier − scheduled + adds; no
+      // count jobs). scheduled counts ALL ranked rows incl. out-of-window
+      // pages (they are processed → seen, and deferred rather than fetched);
+      // fetched counts only corpus-present in-window rows (p <= 3 is the
+      // since-cutoff for this corpus, the same bound q70's final SELECT
+      // uses); not_found counts scheduled urls absent from the corpus (the
+      // dead-letter path); frontier_size/seen_size are post-commit sizes.
+      sb.append("\n" + (0 until batches).map { b =>
+        s"""SELECT CAST($b AS BIGINT) AS batch_id,
+           | CAST((SELECT COUNT(*) FROM sched$b) AS BIGINT) AS scheduled,
+           | CAST((SELECT COUNT(*) FROM sched$b s JOIN pg ON pg.u = s.u AND pg.p = s.p
+           |       WHERE s.p <= 3) AS BIGINT) AS fetched,
+           | CAST((SELECT COUNT(*) FROM sched$b s
+           |       WHERE NOT EXISTS (SELECT 1 FROM pg WHERE pg.u = s.u AND pg.p = s.p))
+           |   AS BIGINT) AS not_found,
+           | CAST((SELECT COUNT(*) FROM fr${b + 1}) AS BIGINT) AS frontier_size,
+           | CAST((SELECT COUNT(*) FROM done$b) AS BIGINT) AS seen_size""".stripMargin
+      }.mkString("\nUNION ALL\n"))
+    } else {
+      sb.append(
+        s"""
+           |SELECT 'https://h' || (x.u % 10)::VARCHAR || '.example.test/u/' || x.u::VARCHAR || '/p/' || x.p::VARCHAR AS url_canon,
+           | 'h' || (x.u % 10)::VARCHAR || '.example.test' AS host,
+           | x.seed_id, x.depth, x.b AS batch_id,
+           | x.ord AS fetch_ordinal,
+           | CAST((CASE WHEN x.p + 1 < pg.cnt THEN 1 ELSE 0 END)
+           |     + (CASE WHEN x.p % 3 = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_outlinks$delayCol
+           |FROM (${(0 until batches).map(b => s"SELECT *, CAST($b AS BIGINT) AS b FROM sched$b").mkString(" UNION ALL ")}) x
+           |JOIN pg ON pg.u = x.u AND pg.p = x.p
+           |WHERE x.p <= 3""".stripMargin)
+    }
     sb.toString
   }
 
@@ -1640,6 +1687,9 @@ object SparkEntry {
 
     "q77_crawl_paced" -> crawlBudgetOracleSql(batches = 4, budget = 2,
       delayMsByHostIdx = Map(0L -> 1500L, 2L -> 250L)),
+
+    "q78_crawl_ledger" -> crawlBudgetOracleSql(batches = 4, budget = 2,
+      ledger = true),
     "q71_crawl_budget_head" -> crawlBudgetOracleSql(batches = 4, budget = 2),
 
     "q72_crawl_linktype_cap" ->
