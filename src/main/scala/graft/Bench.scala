@@ -131,7 +131,8 @@ object Bench {
     * A corpus that already carries url_canon is used as-is by the engine —
     * the bucketed table's distribution then survives into the fetch join. */
   def crawlBenchWith(spark: SparkSession, pages: DataFrame, cpus: Int, batches: Int,
-      paced: Boolean = false, broadcastSched: Boolean = true): (Long, Double, Map[String, Double]) = {
+      paced: Boolean = false, broadcastSched: Boolean = true,
+      addsDedup: String = "window"): (Long, Double, Map[String, Double]) = {
     val preload = preloadFrontier(pages)
     val stateDir = java.nio.file.Files.createTempDirectory(s"graft_bench_$cpus").toString
     val eng = new CrawlEngine(spark, pages, stateDir, CrawlConfig(
@@ -144,6 +145,7 @@ object Bench {
       // recrawl-everything regime (budget never binds) is known a priori
       // here — skip auto's one-batch narrow warmup
       rankMode = "direct",
+      addsDedup = addsDedup,
       corpusUnique = true)) // PagesGen urls are unique by construction
     eng.initializeWithFrontier(preload)
     val t0 = System.nanoTime()

@@ -129,7 +129,17 @@ case class CrawlConfig(
       * over full rows — optimal for recrawl-everything batches where
       * sched ≈ frontier), or "auto" (direct once the previous batch
       * scheduled ≥ half the frontier). Identical results either way. */
-    rankMode: String = "auto")
+    rankMode: String = "auto",
+    /** batch-local first-wins dedup of frontier adds: "window" (default —
+      * the row_number plan; Spark 4 plans it with a PARTIAL
+      * WindowGroupLimit before the exchange, i.e. the map-side top-1
+      * collapse is already there and codegen'd) or "agg" (a min_by
+      * aggregate over an ordering struct — REJECTED as the default after
+      * measurement: the struct buffer forces a non-codegen SortAggregate,
+      * ~2× slower e2e at bench scale with the same shuffle width; kept for
+      * the parity test and graft.tools.AddsDedupProbe, which documents the
+      * rejection). Identical winners by construction (same ordering key). */
+    addsDedup: String = "window")
 
 /**
  * The URL-frontier + fetch-scheduler engine (BASELINE.json.north_rule).
@@ -1053,10 +1063,32 @@ class CrawlEngine(
       .withColumn("discovered_batch", lit(batchId))
       .select($"url", $"url_canon", $"url_hash", $"host", $"child_depth".as("depth"),
         $"priority_ts", $"seed_id", $"since_ts", $"end_ts", $"discovered_batch")
-      // first-wins dedup within the batch, deterministic tiebreak
-      .withColumn("_rn", row_number().over(
-        Window.partitionBy($"url_hash").orderBy($"priority_ts".desc, $"seed_id".asc, $"url_canon".asc)))
-      .filter($"_rn" === 1).drop("_rn")
+      // first-wins dedup within the batch, deterministic tiebreak. The
+      // row_number window is NOT the naive all-rows shuffle it looks like:
+      // Spark 4 plans `filter(rn = 1)` as WindowGroupLimit(Partial) BEFORE
+      // the exchange, so duplicate discoveries of the same url collapse
+      // map-side and the shuffle carries ~one row per distinct new url.
+      // The min_by-aggregate alternative ("agg") shuffles the same width
+      // but loses whole-stage codegen to a SortAggregate (struct agg
+      // buffer) — measured ~2× slower e2e (graft.tools.AddsDedupProbe);
+      // see CrawlConfig.addsDedup.
+      .transform { df =>
+        if (cfg.addsDedup == "window")
+          df.withColumn("_rn", row_number().over(
+              Window.partitionBy($"url_hash")
+                .orderBy($"priority_ts".desc, $"seed_id".asc, $"url_canon".asc)))
+            .filter($"_rn" === 1).drop("_rn")
+        else df
+          .groupBy($"url_hash")
+          .agg(min_by(
+            struct($"url", $"url_canon", $"host", $"depth", $"priority_ts",
+              $"seed_id", $"since_ts", $"end_ts", $"discovered_batch"),
+            struct((-unix_micros($"priority_ts")).as("o1"), $"seed_id".as("o2"),
+              $"url_canon".as("o3"), $"url".as("o4"))).as("_w"))
+          .select($"_w.url", $"_w.url_canon", $"url_hash", $"_w.host", $"_w.depth",
+            $"_w.priority_ts", $"_w.seed_id", $"_w.since_ts", $"_w.end_ts",
+            $"_w.discovered_batch")
+      }
       // robots gating at discovery: a disallowed url never enters the
       // frontier (candidate-time gating above remains as defense for
       // pre-existing frontier state / rule changes)

@@ -218,6 +218,30 @@ class CrawlSpec extends AnyFunSuite {
     assert(en.frontier().count() == ed.frontier().count())
   }
 
+  test("addsDedup agg == window: identical frontier rows and fetched sets (r5)") {
+    // The min_by aggregate and the row_number window must pick the same
+    // first-wins winner per url_hash (same ordering key: priority_ts DESC,
+    // seed_id, url_canon). Compare the surviving frontier ROWS, not counts —
+    // the dedup's output is exactly what lands in the frontier delta.
+    def runWith(mode: String): CrawlEngine = {
+      val e = new CrawlEngine(spark, pagesDF, tmp(),
+        CrawlConfig(defaultHostBudget = 2, shufflePartitions = 5,
+          saltBuckets = 4, shardedRanking = true, addsDedup = mode))
+      e.initialize(seeds(5)); e.run(3); e
+    }
+    val (ea, ew) = (runWith("agg"), runWith("window"))
+    def frontierKey(e: CrawlEngine) = e.frontier()
+      .select("url_hash", "url", "url_canon", "host", "depth", "priority_ts",
+        "seed_id", "discovered_batch")
+      .collect().map(_.toSeq.map(String.valueOf(_)).mkString("|")).sorted.toSeq
+    assert(frontierKey(ea) == frontierKey(ew), "adds dedup plans disagree on the frontier")
+    def fetchedKey(e: CrawlEngine) = e.fetched().get
+      .select("host", "batch_id", "fetch_ordinal", "url_hash")
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getInt(2), r.getLong(3)))
+      .sorted.toSeq
+    assert(fetchedKey(ea) == fetchedKey(ew), "adds dedup plans disagree on fetches")
+  }
+
   test("robots gating: disallowed prefixes never fetched and leave the frontier") {
     val megaHost = "h0.example.test"
     val eng = new CrawlEngine(spark, pagesDF, tmp(),
