@@ -60,6 +60,31 @@ class PlanAndMergeSpec extends AnyFunSuite {
     assert(ann.contains("WindowGroupLimit"), ann.take(2000))
   }
 
+  test("adds dedup: rn=1 window gets a PARTIAL WindowGroupLimit before the exchange (r5)") {
+    // The frontier-adds first-wins dedup keeps the row_number plan BECAUSE
+    // Spark plans filter(rn=1) with a map-side WindowGroupLimit(Partial) —
+    // the collapse a min_by aggregate would buy, without losing codegen
+    // (the measured ~2× rejection, graft.tools.AddsDedupProbe). Lock the
+    // optimizer behavior the default relies on: the same dedup shape over a
+    // distributed source must show Partial-mode WindowGroupLimit upstream
+    // of the shuffle.
+    import org.apache.spark.sql.expressions.Window
+    val df = spark.range(1000).select(
+      (col("id") % 100).as("url_hash"), col("id").as("url"),
+      col("id").cast("string").as("url_canon"),
+      timestamp_seconds(col("id")).as("priority_ts"),
+      (col("id") % 7).cast("string").as("seed_id"))
+    val dedup = df.withColumn("_rn", row_number().over(
+        Window.partitionBy(col("url_hash"))
+          .orderBy(col("priority_ts").desc, col("seed_id").asc, col("url_canon").asc)))
+      .filter(col("_rn") === 1).drop("_rn")
+    val plan = planOf(dedup)
+    val partialIdx = plan.indexOf("row_number(), 1, Partial")
+    val exchangeIdx = plan.indexOf("Exchange hashpartitioning(url_hash")
+    assert(partialIdx >= 0, s"no partial WindowGroupLimit:\n${plan.take(2000)}")
+    assert(exchangeIdx >= 0, s"no hash exchange on url_hash:\n${plan.take(2000)}")
+  }
+
   test("ScalarOps: relative dates anchored, not wall-clock (X9)") {
     val anchor = lit(java.sql.Timestamp.valueOf("2025-01-01 00:00:00"))
     val r = Seq("刚刚", "5分钟前", "2小时前", "昨天 12:00", "2024-06-01 08:30:00")
