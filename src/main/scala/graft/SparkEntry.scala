@@ -784,6 +784,36 @@ object SparkEntry {
           col("not_found"), col("frontier_size"), col("seen_size"))
     }),
 
+    // ROTATION / incremental re-crawl (F7 append watermark + F8 deferred
+    // rewind, weibo.py:2814-2817 + service.py:1384-1398) behind the
+    // external hash gate: phase 1 crawls under an EARLY window end, so the
+    // newest pages (p ≤ 1) are traversed and expanded but DEFERRED (not
+    // emitted); rotateWindows moves every seed's window to [old end, new
+    // end), re-enters the roots, and FORGETS the deferred keys from the
+    // seen set; phase 2 re-walks and emits exactly the previously-deferred
+    // pages — while pages already emitted in phase 1 stay unique (their
+    // seen rows survive the rotation, the F7 cutoff). Frontier leftovers
+    // keep their DISCOVERING row's window across the rotation (the old
+    // cursor finishes its walk — the reference's queue semantics), and a
+    // page double-discovered under both windows resolves by the first-wins
+    // dedup on globally-unique priorities. DuckDB re-derives both phases,
+    // the rotation set algebra, and the per-row window emission with
+    // chained per-batch CTEs.
+    "q79_crawl_rotate" -> ((s, dir) => {
+      val since1 = new java.sql.Timestamp((OracleBaseSec - 12600L) * 1000)
+      val end1 = new java.sql.Timestamp((OracleBaseSec - 5400L) * 1000)
+      val end2 = new java.sql.Timestamp((OracleBaseSec + 3600L) * 1000)
+      val eng = crawlOracleEngine(s, dir, seedSpecs = Some((0L until 3L).map(u =>
+        Seed(s"seed$u", s"https://h$u.example.test/u/$u/p/0", since1, end1))))
+      eng.run(3)
+      eng.rotateWindows(end2)
+      eng.run(3)
+      eng.fetched().get.select(col("url_canon"), col("host"), col("seed_id"),
+        col("depth").cast("long").as("depth"), col("batch_id"),
+        col("fetch_ordinal").cast("long").as("fetch_ordinal"),
+        col("n_outlinks").cast("long").as("n_outlinks"))
+    }),
+
     // ---- S16: composed export/report job (util/pdf_exporter.py:142-241):
     // per-customer-year rollup (q13 shape) + top-k orders packed in rank
     // order (q02 shape) + broadcast dim joins (q04 shape), WRITTEN as a
@@ -1080,6 +1110,113 @@ object SparkEntry {
            |JOIN pg ON pg.u = x.u AND pg.p = x.p
            |WHERE x.p <= 3""".stripMargin)
     }
+    sb.toString
+  }
+
+  /**
+   * Rotation oracle (q79): two bounded crawls around a rotateWindows call,
+   * re-derived with chained per-batch CTEs (q70 style, budget unbounded so
+   * sched_b = fr_b). Every frontier row carries its DISCOVERING row's
+   * (since_sec, end_sec) window; adds inherit it, the rotation's re-entered
+   * roots get the new one. Phase-1 membership anti-joins the processed set
+   * (seen starts empty); the rotation step forgets roots + deferred
+   * (processed rows whose page prio ≥ their row's end_sec) from seen and
+   * re-enters the roots; phase-2 membership anti-joins the surviving seen
+   * set plus phase-2 processed rows. Rotation itself consumes one batch id
+   * (the engine commits it as ROTATED with no fetches). The final SELECT
+   * emits each scheduled row only inside its OWN window [since_sec,
+   * end_sec) — exactly the engine's in_range. Priorities stay unique per
+   * host by construction (seed prios are window ends > BASE; discovered
+   * prios are globally-unique parent warc_ts), so ranks and the first-wins
+   * dedup need no hash tiebreak.
+   */
+  private def crawlRotateOracleSql(b1: Int, b2: Int,
+      since1: Long, end1: Long, end2: Long): String = {
+    val base = OracleBaseSec
+    def prioOf(a: String) = s"(CAST($base AS BIGINT) - ($a.p * 3600 + $a.u * 7))"
+    def seedRows(prio: Long, since: Long, end: Long) = (0 until 3).map { u =>
+      s"(CAST($u AS BIGINT), CAST(0 AS BIGINT), CAST(0 AS BIGINT), 'seed$u', " +
+        s"CAST($prio AS BIGINT), CAST($since AS BIGINT), CAST($end AS BIGINT))"
+    }.mkString(",\n     ") // interpolated before stripMargin; no margin marker needed
+    val sb = new StringBuilder
+    sb.append(
+      s"""WITH pg AS (
+         |   SELECT user_id AS u,
+         |     CAST(ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY event_id) - 1 AS BIGINT) AS p,
+         |     COUNT(*) OVER (PARTITION BY user_id) AS cnt
+         |   FROM events WHERE user_id < $OracleU),
+         | fr0 AS (
+         |   SELECT * FROM (VALUES
+         |     ${seedRows(end1, since1, end1)}
+         |   ) t(u, p, depth, seed_id, prio, since_sec, end_sec))""".stripMargin)
+    // one scheduled batch: rank, membership-gated adds, next frontier
+    def emitBatch(b: Int, memUnion: String): Unit =
+      sb.append(
+        s""",
+           | sched$b AS (
+           |   SELECT u, p, depth, seed_id, prio, since_sec, end_sec,
+           |     CAST(ROW_NUMBER() OVER (PARTITION BY u % 10 ORDER BY prio DESC) AS BIGINT) AS ord
+           |   FROM fr$b),
+           | mem$b AS ($memUnion),
+           | adds$b AS (
+           |   SELECT tu AS u, tp AS p, depth, seed_id, prio, since_sec, end_sec FROM (
+           |     SELECT l.*, ROW_NUMBER() OVER (PARTITION BY tu, tp ORDER BY prio DESC, seed_id) AS rn
+           |     FROM (
+           |       SELECT CASE k.kind WHEN 1 THEN s.u ELSE (s.u + 1) % $OracleU END AS tu,
+           |              CASE k.kind WHEN 1 THEN s.p + 1 ELSE CAST(0 AS BIGINT) END AS tp,
+           |              s.depth + 1 AS depth, s.seed_id,
+           |              ${prioOf("s")} AS prio, s.since_sec, s.end_sec
+           |       FROM sched$b s JOIN pg ON pg.u = s.u AND pg.p = s.p
+           |       CROSS JOIN (VALUES (1), (2)) k(kind)
+           |       WHERE ${prioOf("s")} >= s.since_sec
+           |         AND (k.kind = 2 OR s.p + 1 < pg.cnt)
+           |         AND (k.kind = 1 OR s.p % 3 = 0)
+           |     ) l
+           |     WHERE NOT EXISTS (SELECT 1 FROM mem$b d WHERE d.u = l.tu AND d.p = l.tp)
+           |       AND NOT EXISTS (SELECT 1 FROM fr$b f WHERE f.u = l.tu AND f.p = l.tp)
+           |   ) WHERE rn = 1),
+           | fr${b + 1} AS (
+           |   SELECT f.* FROM fr$b f
+           |   WHERE NOT EXISTS (SELECT 1 FROM sched$b s WHERE s.u = f.u AND s.p = f.p)
+           |   UNION ALL
+           |   SELECT * FROM adds$b)""".stripMargin)
+    val p1 = 0 until b1
+    val p2 = (b1 + 1) to (b1 + b2) // batch id b1 is the ROTATED commit
+    for (b <- p1)
+      emitBatch(b, (0 to b).map(i => s"SELECT u, p FROM sched$i").mkString(" UNION ALL "))
+    // rotation: forget roots + phase-1 deferred from seen; re-enter roots
+    // with the new window (leftover frontier rows keep their old one)
+    sb.append(
+      s""",
+         | deferred_p1 AS (
+         |   SELECT s.u, s.p
+         |   FROM (${p1.map(i => s"SELECT u, p, end_sec FROM sched$i").mkString(" UNION ALL ")}) s
+         |   JOIN pg ON pg.u = s.u AND pg.p = s.p
+         |   WHERE ${prioOf("s")} >= s.end_sec),
+         | seenrot AS (
+         |   SELECT m.u, m.p FROM mem${b1 - 1} m
+         |   WHERE NOT EXISTS (SELECT 1 FROM deferred_p1 d WHERE d.u = m.u AND d.p = m.p)
+         |     AND NOT (m.p = 0 AND m.u < 3)),
+         | fr${b1 + 1} AS (
+         |   SELECT f.* FROM fr$b1 f WHERE NOT (f.p = 0 AND f.u < 3)
+         |   UNION ALL
+         |   SELECT * FROM (VALUES
+         |     ${seedRows(end2, end1, end2)}
+         |   ) t(u, p, depth, seed_id, prio, since_sec, end_sec))""".stripMargin)
+    for (b <- p2)
+      emitBatch(b, ("SELECT u, p FROM seenrot" +:
+        (p2.head to b).map(i => s"SELECT u, p FROM sched$i")).mkString(" UNION ALL "))
+    sb.append(
+      s"""
+         |SELECT 'https://h' || (x.u % 10)::VARCHAR || '.example.test/u/' || x.u::VARCHAR || '/p/' || x.p::VARCHAR AS url_canon,
+         | 'h' || (x.u % 10)::VARCHAR || '.example.test' AS host,
+         | x.seed_id, x.depth, x.b AS batch_id,
+         | x.ord AS fetch_ordinal,
+         | CAST((CASE WHEN x.p + 1 < pg.cnt THEN 1 ELSE 0 END)
+         |     + (CASE WHEN x.p % 3 = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_outlinks
+         |FROM (${(p1 ++ p2).map(b => s"SELECT *, CAST($b AS BIGINT) AS b FROM sched$b").mkString(" UNION ALL ")}) x
+         |JOIN pg ON pg.u = x.u AND pg.p = x.p
+         |WHERE ${prioOf("x")} >= x.since_sec AND ${prioOf("x")} < x.end_sec""".stripMargin)
     sb.toString
   }
 
@@ -1691,6 +1828,10 @@ object SparkEntry {
     "q78_crawl_ledger" -> crawlBudgetOracleSql(batches = 4, budget = 2,
       ledger = true),
     "q71_crawl_budget_head" -> crawlBudgetOracleSql(batches = 4, budget = 2),
+
+    "q79_crawl_rotate" -> crawlRotateOracleSql(b1 = 3, b2 = 3,
+      since1 = OracleBaseSec - 12600L, end1 = OracleBaseSec - 5400L,
+      end2 = OracleBaseSec + 3600L),
 
     "q72_crawl_linktype_cap" ->
       (crawlOracleCte(maxDepthExcl = 2, dropCross = true) +
