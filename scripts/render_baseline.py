@@ -46,9 +46,9 @@ def render(d):
     # drift) over the min-per-arm seconds when the artifact records it
     wall_ratio = head.get("head_over_full_ratio", head["sec_head"] / head["sec_full"])
     head_verdict = (
-        "equal-or-better wall time"
+        f"equal-or-better wall time (pair-median head/full ratio {wall_ratio:.2f})"
         if wall_ratio <= 1.0
-        else f"{wall_ratio:.2f}x the wall time"
+        else f"{wall_ratio:.2f}x the wall time (pair-median head/full ratio)"
     )
 
     lines = []
@@ -116,8 +116,8 @@ def render(d):
         f"- `head_sched` (politeness-bounded crawl, budget ≪ frontier): head table "
         f"cuts the scheduling rank's scan input {head['rank_rows_full']:,} → "
         f"{head['rank_rows_head']:,} rows (**{head_ratio:.1f}×**) at "
-        f"{head_verdict} ({head['sec_full']:.1f} s full vs "
-        f"{head['sec_head']:.1f} s head)."
+        f"{head_verdict}; min-of-arm seconds for scale: "
+        f"{head['sec_full']:.1f} s full, {head['sec_head']:.1f} s head."
     )
     a(
         f"- `paced`: wall-clock politeness machinery costs "
