@@ -806,8 +806,14 @@ object SparkEntry {
       val eng = crawlOracleEngine(s, dir, seedSpecs = Some((0L until 3L).map(u =>
         Seed(s"seed$u", s"https://h$u.example.test/u/$u/p/0", since1, end1))))
       eng.run(3)
-      eng.rotateWindows(end2)
-      eng.run(3)
+      // the rotation goes through the INTERVAL SCHEDULER (service.py:
+      // 1209-1306): a tick below the interval must not fire (any state
+      // change here would shift every phase-2 batch id and fail the hash),
+      // the tick past it rotates to `now` and runs the bounded child crawl
+      require(!eng.tickSchedule(new java.sql.Timestamp(end1.getTime + 500000L),
+        intervalMs = 3600000L, maxBatches = 3), "tick below interval fired")
+      require(eng.tickSchedule(end2, intervalMs = 3600000L, maxBatches = 3),
+        "tick past interval did not fire")
       eng.fetched().get.select(col("url_canon"), col("host"), col("seed_id"),
         col("depth").cast("long").as("depth"), col("batch_id"),
         col("fetch_ordinal").cast("long").as("fetch_ordinal"),
