@@ -820,6 +820,23 @@ object SparkEntry {
         col("n_outlinks").cast("long").as("n_outlinks"))
     }),
 
+    // S17 materialized cache behind the external gate: refreshSummary's
+    // per-(host, seed) rollup — counts, warc_ts span (as epoch seconds, the
+    // tz-neutral comparison surface), max depth, outlink total, distinct
+    // batches — written to the state store, read back, and re-derived in
+    // DuckDB as a GROUP BY over the same recursive crawl CTE as q50.
+    "q80_crawl_summary" -> ((s, dir) => {
+      val eng = crawlOracleEngine(s, dir)
+      eng.run(3)
+      eng.refreshSummary().get.select(
+        col("host"), col("seed_id"), col("n_fetched"),
+        unix_seconds(col("oldest_ts")).as("oldest_sec"),
+        unix_seconds(col("newest_ts")).as("newest_sec"),
+        col("max_depth").cast("long").as("max_depth"),
+        col("total_outlinks").cast("long").as("total_outlinks"),
+        col("n_batches"))
+    }),
+
     // ---- S16: composed export/report job (util/pdf_exporter.py:142-241):
     // per-customer-year rollup (q13 shape) + top-k orders packed in rank
     // order (q02 shape) + broadcast dim joins (q04 shape), WRITTEN as a
@@ -1838,6 +1855,22 @@ object SparkEntry {
     "q79_crawl_rotate" -> crawlRotateOracleSql(b1 = 3, b2 = 3,
       since1 = OracleBaseSec - 12600L, end1 = OracleBaseSec - 5400L,
       end2 = OracleBaseSec + 3600L),
+
+    "q80_crawl_summary" ->
+      (crawlOracleCte(maxDepthExcl = 2) +
+        s"""
+          |SELECT 'h' || (n.u % 10)::VARCHAR || '.example.test' AS host,
+          | n.seed_id,
+          | COUNT(*) AS n_fetched,
+          | MIN(CAST($OracleBaseSec AS BIGINT) - (n.p * 3600 + n.u * 7)) AS oldest_sec,
+          | MAX(CAST($OracleBaseSec AS BIGINT) - (n.p * 3600 + n.u * 7)) AS newest_sec,
+          | MAX(n.depth) AS max_depth,
+          | CAST(SUM((CASE WHEN n.p + 1 < pg.cnt THEN 1 ELSE 0 END)
+          |        + (CASE WHEN n.p % 3 = 0 THEN 1 ELSE 0 END)) AS BIGINT) AS total_outlinks,
+          | COUNT(DISTINCT n.depth) AS n_batches
+          |FROM nodes n JOIN pg ON pg.u = n.u AND pg.p = n.p
+          |WHERE n.p <= 3 AND n.depth <= 2
+          |GROUP BY 1, 2""".stripMargin),
 
     "q72_crawl_linktype_cap" ->
       (crawlOracleCte(maxDepthExcl = 2, dropCross = true) +
