@@ -180,6 +180,35 @@ class CrawlSpec extends AnyFunSuite {
     assert(frkey(engA) == frkey(engB2), "frontier diverges after resume")
   }
 
+  test("resume: kill right after a rotation == uninterrupted rotate+run (r5)") {
+    // rotateWindows commits as its own versioned batch (state ROTATED); a
+    // kill on that boundary must resume into the SAME phase-2 schedule as
+    // an uninterrupted engine — both arms on the same config, so a
+    // systemic resume drift can't cancel out (unlike the head-vs-full
+    // rotation test, where both arms resume).
+    val dirA = tmp(); val dirB = tmp()
+    val cfg = CrawlConfig(defaultHostBudget = 3, shufflePartitions = 4, maxDepth = 16)
+    val newEnd = new java.sql.Timestamp(PagesGen.BaseTsMillis + 3600_000L)
+    val engA = new CrawlEngine(spark, pagesDF, dirA, cfg)
+    engA.initialize(seeds(5)); engA.run(2); engA.rotateWindows(newEnd); engA.run(2)
+
+    val engB1 = new CrawlEngine(spark, pagesDF, dirB, cfg)
+    engB1.initialize(seeds(5)); engB1.run(2); engB1.rotateWindows(newEnd)
+    // "kill" on the rotation commit; the fresh instance resumes past it
+    val engB2 = new CrawlEngine(spark, pagesDF, dirB, cfg)
+    assert(engB2.store.committedBatch == 2L, "rotation batch must be the committed state")
+    engB2.run(2)
+
+    def fkey(e: CrawlEngine) = e.fetched().get
+      .select("url_hash", "batch_id", "fetch_ordinal")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).sorted.toSeq
+    assert(fkey(engA) == fkey(engB2), "post-rotation fetched lineage diverges after resume")
+    def key(e: CrawlEngine) = e.seen().select("url_hash").collect().map(_.getLong(0)).sorted.toSeq
+    assert(key(engA) == key(engB2), "seen sets diverge after rotation resume")
+    def frkey(e: CrawlEngine) = e.frontier().select("url_hash").collect().map(_.getLong(0)).sorted.toSeq
+    assert(frkey(engA) == frkey(engB2), "frontier diverges after rotation resume")
+  }
+
   test("determinism across partitioning levels (local[8]-vs-local[32] analog)") {
     // Same input, different shuffle fan-out + salt: final sets must be identical
     // (FIXTURES.md §5.3 — order compared per host only, sets globally).
