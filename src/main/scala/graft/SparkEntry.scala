@@ -837,6 +837,37 @@ object SparkEntry {
         col("n_batches"))
     }),
 
+    // Robots RULE-CHANGE recovery behind the external gate: phase 1 crawls
+    // with no rules (so user 3's root is fetched — the realistic wart: the
+    // rule arrives AFTER some blocked content was already crawled); the
+    // new rules land by RESUMING the same state dir under the changed
+    // config (the real ops path, same as kill/resume); purgeRobotsBlocked
+    // removes every now-blocked frontier row in ONE batch (the rows enter
+    // seen, so they are never re-discovered) and commits as PURGED; phase 2
+    // continues with discovery-time gating. DuckDB re-derives both phases
+    // and the purge set algebra; the purge consumes batch id 2, shifting
+    // phase-2 batch ids — any purge drift fails the hash.
+    "q81_crawl_purge" -> ((s, dir) => {
+      val corpus = crawlOracleCorpusCached(s, dir)
+      val st = scratchFresh("crawl_oracle_purge")
+      val since = new java.sql.Timestamp((OracleBaseSec - 12600L) * 1000)
+      val end = new java.sql.Timestamp((OracleBaseSec + 3600L) * 1000)
+      val cfg = CrawlConfig(defaultHostBudget = 1000000, maxDepth = 64,
+        shufflePartitions = 8, detailedMetrics = false)
+      val eng = new CrawlEngine(s, corpus, st, cfg)
+      eng.initialize((0L until 3L).map(u => Seed(s"seed$u",
+        s"https://h$u.example.test/u/$u/p/0", since, end)))
+      eng.run(2)
+      val eng2 = new CrawlEngine(s, corpus, st,
+        cfg.copy(robotsDisallow = Seq(("h3.example.test", "/u/3/"))))
+      require(eng2.purgeRobotsBlocked() > 0, "purge must remove blocked frontier rows")
+      eng2.run(2)
+      eng2.fetched().get.select(col("url_canon"), col("host"), col("seed_id"),
+        col("depth").cast("long").as("depth"), col("batch_id"),
+        col("fetch_ordinal").cast("long").as("fetch_ordinal"),
+        col("n_outlinks").cast("long").as("n_outlinks"))
+    }),
+
     // ---- S16: composed export/report job (util/pdf_exporter.py:142-241):
     // per-customer-year rollup (q13 shape) + top-k orders packed in rank
     // order (q02 shape) + broadcast dim joins (q04 shape), WRITTEN as a
@@ -1240,6 +1271,86 @@ object SparkEntry {
          |FROM (${(p1 ++ p2).map(b => s"SELECT *, CAST($b AS BIGINT) AS b FROM sched$b").mkString(" UNION ALL ")}) x
          |JOIN pg ON pg.u = x.u AND pg.p = x.p
          |WHERE ${prioOf("x")} >= x.since_sec AND ${prioOf("x")} < x.end_sec""".stripMargin)
+    sb.toString
+  }
+
+  /**
+   * Purge oracle (q81): two bounded crawls around a robots rule change +
+   * purgeRobotsBlocked, re-derived with chained per-batch CTEs. The rule
+   * `("h3.example.test", "/u/3/")` pins exactly user 3 (the `/u/3/` prefix
+   * with trailing slash cannot match `/u/33/…` — q69's rule). Phase 1 has
+   * no gating; the purge step moves fr's blocked rows into the membership
+   * set (they enter seen) and consumes one batch id; phase-2 adds are
+   * discovery-gated (tu <> blockedU). Unbounded budget, uniform window
+   * (the default [BASE−12600, BASE+3600) ⇒ p ≤ 3 both expands and emits).
+   */
+  private def crawlPurgeOracleSql(b1: Int, b2: Int, blockedU: Long): String = {
+    val base = OracleBaseSec
+    def prioOf(a: String) = s"(CAST($base AS BIGINT) - ($a.p * 3600 + $a.u * 7))"
+    val sb = new StringBuilder
+    sb.append(
+      s"""WITH pg AS (
+         |   SELECT user_id AS u,
+         |     CAST(ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY event_id) - 1 AS BIGINT) AS p,
+         |     COUNT(*) OVER (PARTITION BY user_id) AS cnt
+         |   FROM events WHERE user_id < $OracleU),
+         | fr0 AS (
+         |   SELECT * FROM (VALUES
+         |     ${(0 until 3).map(u => s"(CAST($u AS BIGINT), CAST(0 AS BIGINT), CAST(0 AS BIGINT), 'seed$u', CAST(${base + 3600} AS BIGINT))").mkString(",\n     ")}
+         |   ) t(u, p, depth, seed_id, prio))""".stripMargin)
+    def emitBatch(b: Int, memUnion: String, gateAdds: Boolean): Unit =
+      sb.append(
+        s""",
+           | sched$b AS (
+           |   SELECT u, p, depth, seed_id, prio,
+           |     CAST(ROW_NUMBER() OVER (PARTITION BY u % 10 ORDER BY prio DESC) AS BIGINT) AS ord
+           |   FROM fr$b),
+           | mem$b AS ($memUnion),
+           | adds$b AS (
+           |   SELECT tu AS u, tp AS p, depth, seed_id, prio FROM (
+           |     SELECT l.*, ROW_NUMBER() OVER (PARTITION BY tu, tp ORDER BY prio DESC, seed_id) AS rn
+           |     FROM (
+           |       SELECT CASE k.kind WHEN 1 THEN s.u ELSE (s.u + 1) % $OracleU END AS tu,
+           |              CASE k.kind WHEN 1 THEN s.p + 1 ELSE CAST(0 AS BIGINT) END AS tp,
+           |              s.depth + 1 AS depth, s.seed_id, ${prioOf("s")} AS prio
+           |       FROM sched$b s JOIN pg ON pg.u = s.u AND pg.p = s.p
+           |       CROSS JOIN (VALUES (1), (2)) k(kind)
+           |       WHERE s.p <= 3
+           |         AND (k.kind = 2 OR s.p + 1 < pg.cnt)
+           |         AND (k.kind = 1 OR s.p % 3 = 0)
+           |     ) l
+           |     WHERE NOT EXISTS (SELECT 1 FROM mem$b d WHERE d.u = l.tu AND d.p = l.tp)
+           |       AND NOT EXISTS (SELECT 1 FROM fr$b f WHERE f.u = l.tu AND f.p = l.tp)
+           |       ${if (gateAdds) s"AND l.tu <> $blockedU" else ""}
+           |   ) WHERE rn = 1),
+           | fr${b + 1} AS (
+           |   SELECT f.* FROM fr$b f
+           |   WHERE NOT EXISTS (SELECT 1 FROM sched$b s WHERE s.u = f.u AND s.p = f.p)
+           |   UNION ALL
+           |   SELECT * FROM adds$b)""".stripMargin)
+    val p1 = 0 until b1
+    val p2 = (b1 + 1) to (b1 + b2) // batch id b1 is the PURGED commit
+    for (b <- p1)
+      emitBatch(b, (0 to b).map(i => s"SELECT u, p FROM sched$i").mkString(" UNION ALL "), gateAdds = false)
+    sb.append(
+      s""",
+         | purged AS (SELECT u, p FROM fr$b1 WHERE u = $blockedU),
+         | fr${b1 + 1} AS (
+         |   SELECT f.* FROM fr$b1 f WHERE f.u <> $blockedU)""".stripMargin)
+    for (b <- p2)
+      emitBatch(b, ((p1.map(i => s"SELECT u, p FROM sched$i") :+ "SELECT u, p FROM purged") ++
+        (p2.head to b).map(i => s"SELECT u, p FROM sched$i")).mkString(" UNION ALL "), gateAdds = true)
+    sb.append(
+      s"""
+         |SELECT 'https://h' || (x.u % 10)::VARCHAR || '.example.test/u/' || x.u::VARCHAR || '/p/' || x.p::VARCHAR AS url_canon,
+         | 'h' || (x.u % 10)::VARCHAR || '.example.test' AS host,
+         | x.seed_id, x.depth, x.b AS batch_id,
+         | x.ord AS fetch_ordinal,
+         | CAST((CASE WHEN x.p + 1 < pg.cnt THEN 1 ELSE 0 END)
+         |     + (CASE WHEN x.p % 3 = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_outlinks
+         |FROM (${(p1 ++ p2).map(b => s"SELECT *, CAST($b AS BIGINT) AS b FROM sched$b").mkString(" UNION ALL ")}) x
+         |JOIN pg ON pg.u = x.u AND pg.p = x.p
+         |WHERE x.p <= 3""".stripMargin)
     sb.toString
   }
 
@@ -1855,6 +1966,8 @@ object SparkEntry {
     "q79_crawl_rotate" -> crawlRotateOracleSql(b1 = 3, b2 = 3,
       since1 = OracleBaseSec - 12600L, end1 = OracleBaseSec - 5400L,
       end2 = OracleBaseSec + 3600L),
+
+    "q81_crawl_purge" -> crawlPurgeOracleSql(b1 = 2, b2 = 2, blockedU = 3L),
 
     "q80_crawl_summary" ->
       (crawlOracleCte(maxDepthExcl = 2) +
