@@ -717,6 +717,50 @@ object SparkEntry {
         col("n_outlinks").cast("long").as("n_outlinks"))
     }),
 
+    // the q70 budget crawl under the DIRECT rank plan (one window over full
+    // frontier rows — the recrawl-everything plan the bench runs hot;
+    // schedule-identical to the narrow plan by construction: same window
+    // spec, same tiebreak). Until now only a CrawlSpec parity test asserted
+    // that; here the batch-by-batch schedule itself passes the external
+    // hash gate under the alternate physical plan.
+    "q84_crawl_budget_direct" -> ((s, dir) => {
+      val since = new java.sql.Timestamp((OracleBaseSec - 12600L) * 1000)
+      def end(offSec: Long) = new java.sql.Timestamp((OracleBaseSec + offSec) * 1000)
+      def root(u: Long) = s"https://h${u % 10}.example.test/u/$u/p/0"
+      val eng = crawlOracleEngine(s, dir, budget = 2, rankMode = "direct",
+        seedSpecs = Some(Seq(
+          Seed("seed0", root(0), since, end(3600)),
+          Seed("seed10", root(10), since, end(1800)),
+          Seed("seed20", root(20), since, end(900)),
+          Seed("seed2", root(2), since, end(3600)))))
+      eng.run(4)
+      eng.fetched().get.select(col("url_canon"), col("host"), col("seed_id"),
+        col("depth").cast("long").as("depth"), col("batch_id"),
+        col("fetch_ordinal").cast("long").as("fetch_ordinal"),
+        col("n_outlinks").cast("long").as("n_outlinks"))
+    }),
+
+    // the q70 budget crawl with broadcastScheduled = true (the scheduled
+    // set rides a broadcast-semi into the fetch join instead of a shuffle
+    // — the small-batch fetch plan). Another pure physical-plan variant
+    // behind the identical external schedule oracle.
+    "q85_crawl_budget_bcast" -> ((s, dir) => {
+      val since = new java.sql.Timestamp((OracleBaseSec - 12600L) * 1000)
+      def end(offSec: Long) = new java.sql.Timestamp((OracleBaseSec + offSec) * 1000)
+      def root(u: Long) = s"https://h${u % 10}.example.test/u/$u/p/0"
+      val eng = crawlOracleEngine(s, dir, budget = 2, broadcastScheduled = true,
+        seedSpecs = Some(Seq(
+          Seed("seed0", root(0), since, end(3600)),
+          Seed("seed10", root(10), since, end(1800)),
+          Seed("seed20", root(20), since, end(900)),
+          Seed("seed2", root(2), since, end(3600)))))
+      eng.run(4)
+      eng.fetched().get.select(col("url_canon"), col("host"), col("seed_id"),
+        col("depth").cast("long").as("depth"), col("batch_id"),
+        col("fetch_ordinal").cast("long").as("fetch_ordinal"),
+        col("n_outlinks").cast("long").as("n_outlinks"))
+    }),
+
     // per-link-CLASS expansion caps, HARD oracle (VERDICT r4 item 5): the
     // cross-host class is capped to 0 (the reference's download_repost=0 /
     // repost-cap analog), so the crawl follows ONLY the per-user paging
@@ -854,6 +898,64 @@ object SparkEntry {
       val end = new java.sql.Timestamp((OracleBaseSec + 3600L) * 1000)
       val cfg = CrawlConfig(defaultHostBudget = 1000000, maxDepth = 64,
         shufflePartitions = 8, detailedMetrics = false)
+      val eng = new CrawlEngine(s, corpus, st, cfg)
+      eng.initialize((0L until 3L).map(u => Seed(s"seed$u",
+        s"https://h$u.example.test/u/$u/p/0", since, end)))
+      eng.run(2)
+      val eng2 = new CrawlEngine(s, corpus, st,
+        cfg.copy(robotsDisallow = Seq(("h3.example.test", "/u/3/"))))
+      require(eng2.purgeRobotsBlocked() > 0, "purge must remove blocked frontier rows")
+      eng2.run(2)
+      eng2.fetched().get.select(col("url_canon"), col("host"), col("seed_id"),
+        col("depth").cast("long").as("depth"), col("batch_id"),
+        col("fetch_ordinal").cast("long").as("fetch_ordinal"),
+        col("n_outlinks").cast("long").as("n_outlinks"))
+    }),
+
+    // Compaction + state GC + cold resume behind the external gate: the
+    // first engine crawls 2 of the 3 BFS batches with compactEvery = 1 (so
+    // frontier/seen deltas fold into base snapshots MID-crawl), then
+    // expireOldState drops every superseded state file (the Iceberg
+    // expire_snapshots analog); a SECOND engine resumes the GC'd dir cold
+    // and crawls the last batch. The combined fetched set must equal the
+    // single-engine q50 crawl exactly — batch ids, ordinals, outlinks —
+    // so compaction, GC, and resume are each hash-gated: a GC that drops a
+    // live file, or a resume that re-reads an expired one, shifts rows.
+    "q82_crawl_resume_gc" -> ((s, dir) => {
+      val corpus = crawlOracleCorpusCached(s, dir)
+      val st = scratchFresh("crawl_oracle_resume_gc")
+      val since = new java.sql.Timestamp((OracleBaseSec - 12600L) * 1000)
+      val end = new java.sql.Timestamp((OracleBaseSec + 3600L) * 1000)
+      val cfg = CrawlConfig(defaultHostBudget = 1000000, maxDepth = 64,
+        shufflePartitions = 8, detailedMetrics = false, compactEvery = 1)
+      val eng = new CrawlEngine(s, corpus, st, cfg)
+      eng.initialize((0L until 3L).map(u => Seed(s"seed$u",
+        s"https://h$u.example.test/u/$u/p/0", since, end)))
+      eng.run(2)
+      eng.expireOldState()
+      val eng2 = new CrawlEngine(s, corpus, st, cfg)
+      eng2.run(1)
+      eng2.fetched().get.select(col("url_canon"), col("host"), col("seed_id"),
+        col("depth").cast("long").as("depth"), col("batch_id"),
+        col("fetch_ordinal").cast("long").as("fetch_ordinal"),
+        col("n_outlinks").cast("long").as("n_outlinks"))
+    }),
+
+    // The q81 purge THROUGH THE HEAD-TABLE path: the purge leaves the
+    // in-memory head stale (its rows must leave the head before the next
+    // schedule); the engine invalidates it via the headValidAt mismatch and
+    // rebuilds from the purged frontier under the current config's K.
+    // Unbounded budget keeps head == frontier, so the identical purge
+    // oracle externally gates the invalidation machinery itself — a head
+    // that survives the purge would schedule a blocked row and fail the
+    // hash.
+    "q83_crawl_purge_head" -> ((s, dir) => {
+      val corpus = crawlOracleCorpusCached(s, dir)
+      val st = scratchFresh("crawl_oracle_purge_head")
+      val since = new java.sql.Timestamp((OracleBaseSec - 12600L) * 1000)
+      val end = new java.sql.Timestamp((OracleBaseSec + 3600L) * 1000)
+      val cfg = CrawlConfig(defaultHostBudget = 1000000, maxDepth = 64,
+        shufflePartitions = 8, detailedMetrics = false, headTable = true)
       val eng = new CrawlEngine(s, corpus, st, cfg)
       eng.initialize((0L until 3L).map(u => Seed(s"seed$u",
         s"https://h$u.example.test/u/$u/p/0", since, end)))
@@ -1033,16 +1135,20 @@ object SparkEntry {
       budget: Int = 1000000,
       seedSpecs: Option[Seq[Seed]] = None,
       caps: Map[String, Int] = Map.empty,
-      robotsTxt: Seq[(String, String)] = Nil): CrawlEngine = {
+      robotsTxt: Seq[(String, String)] = Nil,
+      rankMode: String = "auto",
+      broadcastScheduled: Boolean = false): CrawlEngine = {
     // one scratch state dir per distinct oracle configuration, CLEARED per
     // invocation (repeated bench runs reuse it instead of leaking temp dirs)
     val st = scratchFresh("crawl_oracle_" +
       java.lang.Integer.toHexString(
-        (headTable, robots, budget, seedSpecs, caps, robotsTxt).hashCode))
+        (headTable, robots, budget, seedSpecs, caps, robotsTxt,
+          rankMode, broadcastScheduled).hashCode))
     val corpus = crawlOracleCorpusCached(s, dir)
     val cfg0 = CrawlConfig(defaultHostBudget = budget, maxDepth = 64, shufflePartitions = 8,
       detailedMetrics = false, headTable = headTable, robotsDisallow = robots,
-      expansionCaps = caps)
+      expansionCaps = caps, rankMode = rankMode,
+      broadcastScheduled = broadcastScheduled)
     // robotsTxt: RAW per-host robots.txt folded in through the production
     // one-call wiring (gating rules + Crawl-delay pacing) — q77 exercises
     // the robots→perHostDelayMs path end-to-end, not a hand-set delay map
@@ -1934,17 +2040,11 @@ object SparkEntry {
     // engine's fetched set (url, host, seed lineage, depth, batch id,
     // per-host newest-first fetch ordinal, outlink count) and the frontier
     // exactly — including dangling cross-links into nonexistent users.
-    "q50_crawl_batch" ->
-      (crawlOracleCte(maxDepthExcl = 2) +
-        """
-          |SELECT 'https://h' || (n.u % 10)::VARCHAR || '.example.test/u/' || n.u::VARCHAR || '/p/' || n.p::VARCHAR AS url_canon,
-          | 'h' || (n.u % 10)::VARCHAR || '.example.test' AS host,
-          | n.seed_id, n.depth, n.depth AS batch_id,
-          | CAST(n.fetch_ordinal AS BIGINT) AS fetch_ordinal,
-          | CAST((CASE WHEN n.p + 1 < pg.cnt THEN 1 ELSE 0 END)
-          |     + (CASE WHEN n.p % 3 = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_outlinks
-          |FROM nodes n JOIN pg ON pg.u = n.u AND pg.p = n.p
-          |WHERE n.p <= 3 AND n.depth <= 2""".stripMargin),
+    "q50_crawl_batch" -> crawlBfsFetchedSql,
+
+    // q82 re-derives the SAME single-engine crawl: compaction, state GC,
+    // and cold resume must be invisible to the fetched set
+    "q82_crawl_resume_gc" -> crawlBfsFetchedSql,
 
     "q51_crawl_frontier" ->
       (crawlOracleCte(maxDepthExcl = 2) +
@@ -1955,6 +2055,10 @@ object SparkEntry {
           |FROM nodes WHERE depth = 2""".stripMargin),
 
     "q70_crawl_budget" -> crawlBudgetOracleSql(batches = 4, budget = 2),
+
+    // physical-plan variants of the q70 schedule — identical oracle
+    "q84_crawl_budget_direct" -> crawlBudgetOracleSql(batches = 4, budget = 2),
+    "q85_crawl_budget_bcast" -> crawlBudgetOracleSql(batches = 4, budget = 2),
 
     "q77_crawl_paced" -> crawlBudgetOracleSql(batches = 4, budget = 2,
       delayMsByHostIdx = Map(0L -> 1500L, 2L -> 250L)),
@@ -1968,6 +2072,9 @@ object SparkEntry {
       end2 = OracleBaseSec + 3600L),
 
     "q81_crawl_purge" -> crawlPurgeOracleSql(b1 = 2, b2 = 2, blockedU = 3L),
+
+    // same purge oracle through the head-table scheduling path
+    "q83_crawl_purge_head" -> crawlPurgeOracleSql(b1 = 2, b2 = 2, blockedU = 3L),
 
     "q80_crawl_summary" ->
       (crawlOracleCte(maxDepthExcl = 2) +
@@ -2054,6 +2161,21 @@ object SparkEntry {
     * outlinks never expand; reachability through them is cut).
     * `dropCross = true` drops the kind-2 (cross-host) edges — the oracle
     * mirror of expansionCaps("cross") = 0 (q72). */
+  /** The q50 fetched-set oracle (BFS layers under non-binding budgets) —
+    * shared verbatim by q82: compaction, state GC, and cold resume must all
+    * be invisible to the fetched set, so the same SQL gates both. */
+  private def crawlBfsFetchedSql: String =
+    crawlOracleCte(maxDepthExcl = 2) +
+      """
+        |SELECT 'https://h' || (n.u % 10)::VARCHAR || '.example.test/u/' || n.u::VARCHAR || '/p/' || n.p::VARCHAR AS url_canon,
+        | 'h' || (n.u % 10)::VARCHAR || '.example.test' AS host,
+        | n.seed_id, n.depth, n.depth AS batch_id,
+        | CAST(n.fetch_ordinal AS BIGINT) AS fetch_ordinal,
+        | CAST((CASE WHEN n.p + 1 < pg.cnt THEN 1 ELSE 0 END)
+        |     + (CASE WHEN n.p % 3 = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_outlinks
+        |FROM nodes n JOIN pg ON pg.u = n.u AND pg.p = n.p
+        |WHERE n.p <= 3 AND n.depth <= 2""".stripMargin
+
   private def crawlOracleCte(maxDepthExcl: Int, blockUser: Long = -1L,
       dropCross: Boolean = false): String =
     s"""WITH RECURSIVE
