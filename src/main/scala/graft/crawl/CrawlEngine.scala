@@ -139,7 +139,14 @@ case class CrawlConfig(
       * ~2× slower e2e at bench scale with the same shuffle width; kept for
       * the parity test and graft.tools.AddsDedupProbe, which documents the
       * rejection). Identical winners by construction (same ordering key). */
-    addsDedup: String = "window")
+    addsDedup: String = "window",
+    /** parquet codec for every state/log write. Default snappy: on this
+      * VM's local disk the parsed-log write is encode-CPU-bound, and
+      * graft.tools.CodecProbe measured zstd 26% slower wall for 49% fewer
+      * bytes (549→282 MB per 1.5M parsed rows, medians of 3 interleaved
+      * rounds). On a real cluster writing to object storage / a network
+      * sink the bytes dominate — set "zstd" there. */
+    logCodec: String = "snappy")
 
 /**
  * The URL-frontier + fetch-scheduler engine (BASELINE.json.north_rule).
@@ -192,7 +199,7 @@ class CrawlEngine(
 
   import spark.implicits._
 
-  val store = new StateStore(spark, stateDir)
+  val store = new StateStore(spark, stateDir, cfg.logCodec)
 
   require(!cfg.headTable || cfg.compactEvery > 0,
     "headTable requires compactEvery > 0: the head rebuilds exactly at each " +

@@ -54,7 +54,7 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
  * (weibo.py:66, weibo.py:2814-2817) and the tasks ledger
  * (service.py:140-154); here the checkpoint IS the table state.
  */
-class StateStore(spark: SparkSession, root: String) {
+class StateStore(spark: SparkSession, root: String, codec: String = "snappy") {
 
   private val rootPath: Path = Paths.get(root)
   Files.createDirectories(rootPath)
@@ -94,7 +94,7 @@ class StateStore(spark: SparkSession, root: String) {
   /** Write the next version of a snapshot table (overwrite ⇒ retry-idempotent). */
   def write(table: String, v: Long, df: DataFrame, partitions: Int = 0): Unit = {
     val out = if (partitions > 0) df.repartition(partitions) else df
-    out.write.mode("overwrite").parquet(versionDir(table, v))
+    out.write.mode("overwrite").option("compression", codec).parquet(versionDir(table, v))
   }
 
   // ------------------------------------------------------------------
@@ -165,8 +165,8 @@ class StateStore(spark: SparkSession, root: String) {
       counted(df.repartitionByRange(clusterPartitions, col("url_hash"))
           .sortWithinPartitions("url_hash"))
         .withColumn("_hb", hbCol)
-        .write.mode("overwrite").partitionBy("_hb").parquet(dir)
-    } else counted(df).write.mode("overwrite").parquet(dir)
+        .write.mode("overwrite").option("compression", codec).partitionBy("_hb").parquet(dir)
+    } else counted(df).write.mode("overwrite").option("compression", codec).parquet(dir)
   }
 
   /** Base snapshot as stored (with `_hb` when bucket-partitioned). An empty
@@ -188,12 +188,12 @@ class StateStore(spark: SparkSession, root: String) {
   /** Per-batch added rows — O(batch) bytes. */
   def writeDeltaAdds(table: String, batch: Long, adds: DataFrame): Unit =
     adds.withColumn("_add_batch", lit(batch))
-      .write.mode("overwrite").parquet(addDir(table, batch).toString)
+      .write.mode("overwrite").option("compression", codec).parquet(addDir(table, batch).toString)
 
   /** Per-batch removed keys (url_hash) — O(batch) bytes. */
   def writeDeltaDels(table: String, batch: Long, delKeys: DataFrame): Unit =
     delKeys.select(col("url_hash").as("_del_hash")).withColumn("_del_batch", lit(batch))
-      .write.mode("overwrite").parquet(delDir(table, batch).toString)
+      .write.mode("overwrite").option("compression", codec).parquet(delDir(table, batch).toString)
 
   /** Union of add-deltas in (afterExcl, upToIncl], tagged with _add_batch. */
   def readDeltaAdds(table: String, afterExcl: Long, upToIncl: Long): Option[DataFrame] = {
@@ -294,7 +294,7 @@ class StateStore(spark: SparkSession, root: String) {
     * `batch <= committedBatch` so uncommitted partial output is invisible —
     * snapshot isolation, as an Iceberg append would give. */
   def appendLog(table: String, batch: Long, df: DataFrame): Unit =
-    df.write.mode("overwrite").parquet(rootPath.resolve(table).resolve(s"batch=$batch").toString)
+    df.write.mode("overwrite").option("compression", codec).parquet(rootPath.resolve(table).resolve(s"batch=$batch").toString)
 
   /** Generic MERGE with latest-wins semantics (the reference's upsert sinks:
     * SQLite INSERT OR REPLACE weibo.py:2530-2541, MySQL ON DUPLICATE KEY

@@ -2,6 +2,8 @@ package graft
 
 import java.nio.file.Files
 
+import scala.jdk.CollectionConverters._
+
 import graft.crawl._
 import graft.functions.TextExtract
 import org.apache.spark.sql.SparkSession
@@ -269,6 +271,29 @@ class CrawlSpec extends AnyFunSuite {
       .collect().map(r => (r.getString(0), r.getLong(1), r.getInt(2), r.getLong(3)))
       .sorted.toSeq
     assert(fetchedKey(ea) == fetchedKey(ew), "adds dedup plans disagree on fetches")
+  }
+
+  test("logCodec=zstd writes zstd state files and an identical crawl (r5)") {
+    // the codec is a pure storage knob (CodecProbe measured the tradeoff);
+    // it must change the file encoding and NOTHING else
+    def runWith(codec: String): (CrawlEngine, String) = {
+      val dir = tmp()
+      val e = new CrawlEngine(spark, pagesDF, dir,
+        CrawlConfig(defaultHostBudget = 2, shufflePartitions = 4, logCodec = codec))
+      e.initialize(seeds(5)); e.run(2); (e, dir)
+    }
+    val ((es, _), (ez, zdir)) = (runWith("snappy"), runWith("zstd"))
+    def key(e: CrawlEngine) = e.fetched().get
+      .select("host", "batch_id", "fetch_ordinal", "url_hash")
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getInt(2), r.getLong(3)))
+      .sorted.toSeq
+    assert(key(es) == key(ez), "codec changed crawl results")
+    val parsedFiles = Files.walk(java.nio.file.Paths.get(zdir, "parsed"))
+      .filter(p => p.getFileName.toString.endsWith(".parquet"))
+      .iterator().asScala.toSeq
+    assert(parsedFiles.nonEmpty)
+    assert(parsedFiles.forall(_.getFileName.toString.contains(".zstd.")),
+      s"expected zstd-encoded parsed log, got ${parsedFiles.head.getFileName}")
   }
 
   test("robots gating: disallowed prefixes never fetched and leave the frontier") {
