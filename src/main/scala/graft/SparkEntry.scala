@@ -970,6 +970,32 @@ object SparkEntry {
         col("n_outlinks").cast("long").as("n_outlinks"))
     }),
 
+    // The STOP command (F12, the reference's tasks.command='STOP' gate,
+    // service.py:1419-1432) behind the external oracle: the q50 crawl runs
+    // its first TWO batches (depths 0-1), a stop is requested, and run(5)
+    // must execute NOTHING — the oracle is the depth<=1 BFS prefix, so a
+    // stop gate that lets even one more batch through fetches depth-2 rows
+    // and fails the hash. (The ledger's STOPPED row stays test-asserted;
+    // what's gated here is the halt itself.)
+    "q86_crawl_stop" -> ((s, dir) => {
+      val corpus = crawlOracleCorpusCached(s, dir)
+      val st = scratchFresh("crawl_oracle_stop")
+      val since = new java.sql.Timestamp((OracleBaseSec - 12600L) * 1000)
+      val end = new java.sql.Timestamp((OracleBaseSec + 3600L) * 1000)
+      val eng = new CrawlEngine(s, corpus, st, CrawlConfig(
+        defaultHostBudget = 1000000, maxDepth = 64,
+        shufflePartitions = 8, detailedMetrics = false))
+      eng.initialize((0L until 3L).map(u => Seed(s"seed$u",
+        s"https://h$u.example.test/u/$u/p/0", since, end)))
+      eng.run(2)
+      eng.requestStop()
+      require(eng.run(5).isEmpty, "STOP must halt the run")
+      eng.fetched().get.select(col("url_canon"), col("host"), col("seed_id"),
+        col("depth").cast("long").as("depth"), col("batch_id"),
+        col("fetch_ordinal").cast("long").as("fetch_ordinal"),
+        col("n_outlinks").cast("long").as("n_outlinks"))
+    }),
+
     // ---- S16: composed export/report job (util/pdf_exporter.py:142-241):
     // per-customer-year rollup (q13 shape) + top-k orders packed in rank
     // order (q02 shape) + broadcast dim joins (q04 shape), WRITTEN as a
@@ -2040,11 +2066,14 @@ object SparkEntry {
     // engine's fetched set (url, host, seed lineage, depth, batch id,
     // per-host newest-first fetch ordinal, outlink count) and the frontier
     // exactly — including dangling cross-links into nonexistent users.
-    "q50_crawl_batch" -> crawlBfsFetchedSql,
+    "q50_crawl_batch" -> crawlBfsFetchedSql(),
 
     // q82 re-derives the SAME single-engine crawl: compaction, state GC,
     // and cold resume must be invisible to the fetched set
-    "q82_crawl_resume_gc" -> crawlBfsFetchedSql,
+    "q82_crawl_resume_gc" -> crawlBfsFetchedSql(),
+
+    // the STOP command halts after the first two batches: depth<=1 prefix
+    "q86_crawl_stop" -> crawlBfsFetchedSql(maxDepth = 1),
 
     "q51_crawl_frontier" ->
       (crawlOracleCte(maxDepthExcl = 2) +
@@ -2162,11 +2191,12 @@ object SparkEntry {
     * `dropCross = true` drops the kind-2 (cross-host) edges — the oracle
     * mirror of expansionCaps("cross") = 0 (q72). */
   /** The q50 fetched-set oracle (BFS layers under non-binding budgets) —
-    * shared verbatim by q82: compaction, state GC, and cold resume must all
-    * be invisible to the fetched set, so the same SQL gates both. */
-  private def crawlBfsFetchedSql: String =
-    crawlOracleCte(maxDepthExcl = 2) +
-      """
+    * shared verbatim by q82 (compaction, state GC, and cold resume must all
+    * be invisible to the fetched set) and, truncated to `maxDepth = 1`, by
+    * q86 (a STOP after two batches must leave exactly the depth<=1 prefix). */
+  private def crawlBfsFetchedSql(maxDepth: Int = 2): String =
+    crawlOracleCte(maxDepthExcl = maxDepth) +
+      s"""
         |SELECT 'https://h' || (n.u % 10)::VARCHAR || '.example.test/u/' || n.u::VARCHAR || '/p/' || n.p::VARCHAR AS url_canon,
         | 'h' || (n.u % 10)::VARCHAR || '.example.test' AS host,
         | n.seed_id, n.depth, n.depth AS batch_id,
@@ -2174,7 +2204,7 @@ object SparkEntry {
         | CAST((CASE WHEN n.p + 1 < pg.cnt THEN 1 ELSE 0 END)
         |     + (CASE WHEN n.p % 3 = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_outlinks
         |FROM nodes n JOIN pg ON pg.u = n.u AND pg.p = n.p
-        |WHERE n.p <= 3 AND n.depth <= 2""".stripMargin
+        |WHERE n.p <= 3 AND n.depth <= $maxDepth""".stripMargin
 
   private def crawlOracleCte(maxDepthExcl: Int, blockUser: Long = -1L,
       dropCross: Boolean = false): String =
