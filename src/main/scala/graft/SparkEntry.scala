@@ -996,6 +996,20 @@ object SparkEntry {
         col("n_outlinks").cast("long").as("n_outlinks"))
     }),
 
+    // X1's byte-identical text contract behind the external gate: the
+    // fetched pages' EXTRACTED TEXT (tag strip, text-node '\n' join rule,
+    // CJK anchors) re-derived character-for-character in DuckDB over the
+    // events-derived corpus. The full PagesGen corpus invariant (topics,
+    // at-users, zero-width strip, whitespace-only bodies) stays asserted
+    // corpus-wide in ScalaTest — splitmix64 isn't expressible in DuckDB
+    // BIGINT (multiplication overflows instead of wrapping) — but the
+    // parser's walk/merge/join semantics themselves now pass a hash gate.
+    "q87_crawl_text" -> ((s, dir) => {
+      val eng = crawlOracleEngine(s, dir)
+      eng.run(3)
+      eng.fetched().get.select(col("url_canon"), col("text"))
+    }),
+
     // ---- S16: composed export/report job (util/pdf_exporter.py:142-241):
     // per-customer-year rollup (q13 shape) + top-k orders packed in rank
     // order (q02 shape) + broadcast dim joins (q04 shape), WRITTEN as a
@@ -2074,6 +2088,19 @@ object SparkEntry {
 
     // the STOP command halts after the first two batches: depth<=1 prefix
     "q86_crawl_stop" -> crawlBfsFetchedSql(maxDepth = 1),
+
+    // extracted text re-derived byte-for-byte: the corpus html is
+    // '<p>page u p</p>' + optional 更多/x anchors, so the parser's text walk
+    // must yield the text nodes joined with '\n' (no @/# merges here)
+    "q87_crawl_text" ->
+      (crawlOracleCte(maxDepthExcl = 2) +
+        """
+          |SELECT 'https://h' || (n.u % 10)::VARCHAR || '.example.test/u/' || n.u::VARCHAR || '/p/' || n.p::VARCHAR AS url_canon,
+          | 'page ' || n.u::VARCHAR || ' ' || n.p::VARCHAR
+          |   || (CASE WHEN n.p + 1 < pg.cnt THEN chr(10) || '更多' ELSE '' END)
+          |   || (CASE WHEN n.p % 3 = 0 THEN chr(10) || 'x' ELSE '' END) AS text
+          |FROM nodes n JOIN pg ON pg.u = n.u AND pg.p = n.p
+          |WHERE n.p <= 3 AND n.depth <= 2""".stripMargin),
 
     "q51_crawl_frontier" ->
       (crawlOracleCte(maxDepthExcl = 2) +
