@@ -996,6 +996,30 @@ object SparkEntry {
         col("n_outlinks").cast("long").as("n_outlinks"))
     }),
 
+    // NOT_FOUND dead-letter behind the external gate: a 4th seed points at
+    // user 50, which the corpus (users < OracleU = 40) NEVER contains at
+    // any sf — a deterministic missing page. The engine must classify it
+    // NOT_FOUND after exactly one attempt and drop it from the frontier;
+    // the other three seeds' crawl is untouched (q50 still hashes clean
+    // separately). q88 takes the default outer-join fetch (found=false rows
+    // in the parsed log); q89 the broadcast-semi fetch whose inner join
+    // DROPS missing urls — runBatch's open-corpus recovery must rebuild
+    // them into the errors log, and the unified notFound() view must agree
+    // with the same one-row oracle under both physical plans.
+    "q88_crawl_notfound" -> ((s, dir) => {
+      val eng = crawlOracleEngine(s, dir, seedSpecs = Some(notFoundSeeds))
+      eng.run(3)
+      eng.notFound().get.select(col("url_canon"), col("host"), col("seed_id"),
+        col("depth").cast("long").as("depth"), col("batch_id"))
+    }),
+    "q89_crawl_notfound_bcast" -> ((s, dir) => {
+      val eng = crawlOracleEngine(s, dir, seedSpecs = Some(notFoundSeeds),
+        broadcastScheduled = true)
+      eng.run(3)
+      eng.notFound().get.select(col("url_canon"), col("host"), col("seed_id"),
+        col("depth").cast("long").as("depth"), col("batch_id"))
+    }),
+
     // X1's byte-identical text contract behind the external gate: the
     // fetched pages' EXTRACTED TEXT (tag strip, text-node '\n' join rule,
     // CJK anchors) re-derived character-for-character in DuckDB over the
@@ -1167,6 +1191,18 @@ object SparkEntry {
     val t0 = System.nanoTime()
     crawlOracleCorpusCached(s, dir).count()
     (System.nanoTime() - t0) / 1e9
+  }
+
+  /** q88/q89 seed list: the three q50 seeds plus one pointing at user 50 —
+    * outside the corpus's `users < OracleU (= 40)` cut at EVERY sf, so the
+    * missing page is deterministic and the dead-letter oracle is a
+    * constant row. */
+  private def notFoundSeeds: Seq[Seed] = {
+    val since = new java.sql.Timestamp((OracleBaseSec - 12600L) * 1000)
+    val end = new java.sql.Timestamp((OracleBaseSec + 3600L) * 1000)
+    (0L until 3L).map(u => Seed(s"seed$u",
+      s"https://h$u.example.test/u/$u/p/0", since, end)) :+
+      Seed("seed50", "https://h0.example.test/u/50/p/0", since, end)
   }
 
   private def crawlOracleEngine(s: SparkSession, dir: String,
@@ -2089,6 +2125,13 @@ object SparkEntry {
     // the STOP command halts after the first two batches: depth<=1 prefix
     "q86_crawl_stop" -> crawlBfsFetchedSql(maxDepth = 1),
 
+    // the dead-letter set is one constant row (the seeded missing page):
+    // all corpus-internal pages reachable from seeds 0-2 at depth<=2 exist
+    // at every sf, and the engine must both classify the miss and KEEP the
+    // rest of the crawl untouched, under either fetch plan
+    "q88_crawl_notfound" -> crawlNotFoundSql,
+    "q89_crawl_notfound_bcast" -> crawlNotFoundSql,
+
     // extracted text re-derived byte-for-byte: the corpus html is
     // '<p>page u p</p>' + optional 更多/x anchors, so the parser's text walk
     // must yield the text nodes joined with '\n' (no @/# merges here)
@@ -2217,6 +2260,13 @@ object SparkEntry {
     * outlinks never expand; reachability through them is cut).
     * `dropCross = true` drops the kind-2 (cross-host) edges — the oracle
     * mirror of expansionCaps("cross") = 0 (q72). */
+  /** q88/q89 oracle: the seeded missing page is the entire dead-letter set
+    * (see [[notFoundSeeds]]); depth/batch are 0 — one attempt, batch 0. */
+  private def crawlNotFoundSql: String =
+    """SELECT 'https://h0.example.test/u/50/p/0' AS url_canon,
+      | 'h0.example.test' AS host, 'seed50' AS seed_id,
+      | CAST(0 AS BIGINT) AS depth, CAST(0 AS BIGINT) AS batch_id""".stripMargin
+
   /** The q50 fetched-set oracle (BFS layers under non-binding budgets) —
     * shared verbatim by q82 (compaction, state GC, and cold resume must all
     * be invisible to the fetched set) and, truncated to `maxDepth = 1`, by

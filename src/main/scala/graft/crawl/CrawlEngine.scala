@@ -448,6 +448,25 @@ class CrawlEngine(
       size($"outlinks").as("n_outlinks"),
       $"batch_id", $"partition_id", $"fetch_ordinal", $"sched_delay_ms"))
 
+  /** Dead-letter view — scheduled urls with no page in the corpus (the
+    * reference's deleted/404 timeline skip, weibo.py:1663-1680: a missing
+    * page is recorded and the walk moves on, never retried). Rows come from
+    * two physical paths that this view unifies: the default outer-join
+    * fetch leaves found=false rows in the parsed log; the broadcast-semi
+    * fetch (`broadcastScheduled`) drops them from the inner join and
+    * recovers them into the `errors` log (runBatch's open-corpus recovery).
+    * Either way the url leaves the frontier after exactly one attempt. */
+  def notFound(upTo: Long = store.committedBatch): Option[DataFrame] = {
+    val cols = Seq($"url_canon", $"host", $"seed_id", $"depth", $"batch_id")
+    val parsedNf = store.readLog("parsed", upTo)
+      .map(_.filter(!$"found").select(cols: _*))
+    val errNf = store.readLog("errors", upTo).map(_.select(cols: _*))
+    (parsedNf, errNf) match {
+      case (Some(a), Some(b)) => Some(a.unionByName(b))
+      case (a, b) => a.orElse(b)
+    }
+  }
+
   /** too-new pages (traversed but not emitted; re-opened by rotation). */
   def deferred(upTo: Long = store.committedBatch,
       afterBatch: Long = Long.MinValue): Option[DataFrame] =
