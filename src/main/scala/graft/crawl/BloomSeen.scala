@@ -208,14 +208,25 @@ object BloomProbeBroadcast {
     * deserialized filters keyed by broadcast id. Bounded LRU (ADVICE r3: the
     * previous evict-everything-but-mine policy let several live engines in
     * one JVM — or in-flight plans on an old snapshot — evict each other's
-    * entries and re-pay the full O(blob) decode per query): least-recently
-    * probed snapshots fall out once more than [[MaxCached]] are live. */
-  private val MaxCached = 8
+    * entries and re-pay the full O(blob) decode per query).
+    *
+    * Sizing (ADVICE r5): one probe touches the snapshot PLUS up to
+    * bloomRecentCap (16) recent tiers in fixed order, so an 8-entry count cap
+    * cycled >8 keys through the LRU with ~100% misses — every task re-decoded
+    * the O(|seen|) snapshot blob on exactly the batches the cache was meant to
+    * cover. The count cap is now comfortably above any single engine's live
+    * tier set (snapshot + recent cap + slack, ×2 engines), and a BYTE cap
+    * bounds the real resource: decoded recent tiers are O(batch) and cheap to
+    * keep; a multi-GB pileup of superseded snapshots is what must be evicted.
+    * Eviction drops least-recently-probed entries until both caps hold (but
+    * always keeps the most recent few, so one oversized snapshot still
+    * caches). */
+  private val MaxCachedEntries = 64
+  private val MaxCachedBytes = 2L << 30
+  private var cachedBytes = 0L
+  private def sizeOf(fs: Array[BloomFilter]): Long = fs.map(_.bitSize() / 8).sum
   private val cache =
-    new java.util.LinkedHashMap[Long, Array[BloomFilter]](16, 0.75f, /*accessOrder=*/ true) {
-      override def removeEldestEntry(
-          e: java.util.Map.Entry[Long, Array[BloomFilter]]): Boolean = size() > MaxCached
-    }
+    new java.util.LinkedHashMap[Long, Array[BloomFilter]](16, 0.75f, /*accessOrder=*/ true)
 
   def cachedFilters(bc: Broadcast[Array[Array[Byte]]]): Array[BloomFilter] = {
     cache.synchronized {
@@ -227,7 +238,16 @@ object BloomProbeBroadcast {
     // may decode the same id twice — rare (one per executor per snapshot
     // rotation) and harmless (last put wins, both arrays are equivalent).
     val decoded = bc.value.map(b => BloomFilter.readFrom(new ByteArrayInputStream(b)))
-    cache.synchronized { cache.put(bc.id, decoded) }
+    cache.synchronized {
+      val prev = cache.put(bc.id, decoded)
+      cachedBytes += sizeOf(decoded) - (if (prev == null) 0L else sizeOf(prev))
+      val it = cache.entrySet().iterator()
+      while ((cache.size() > MaxCachedEntries ||
+          (cachedBytes > MaxCachedBytes && cache.size() > 4)) && it.hasNext) {
+        val e = it.next()
+        if (e.getKey != bc.id) { cachedBytes -= sizeOf(e.getValue); it.remove() }
+      }
+    }
     decoded
   }
 }

@@ -124,6 +124,13 @@ case class CrawlConfig(
     probePushdownMaxKeys: Int = 1024,
     bloomRecentCap: Int = 16,
     headTable: Boolean = false,
+    /** max batch link keys broadcast for the expansion-membership semi scans
+      * (the "mid path"): below it the 8-byte link-key set ships once to the
+      * executors and the big seen/frontier sides are scanned, never shuffled,
+      * during outlink membership filtering; above it the shuffle fallback
+      * runs. A BYTES bound in disguise (keys × 8 B ≈ 32 MB at the default),
+      * not a local-core tuning: size it to executor broadcast headroom. */
+    linksBroadcastMaxKeys: Long = 4000000L,
     /** rank plan: "narrow" (window on a slim projection, budget keys join
       * back — optimal when politeness budgets bind), "direct" (one window
       * over full rows — optimal for recrawl-everything batches where
@@ -726,16 +733,24 @@ class CrawlEngine(
     val schedBase = if (cfg.headTable) timed("head_read")(headView(committed)) else front
     val candidates =
       if (bloomBc != null) {
-        val probed = schedBase.withColumn("_maybe_seen",
-          BloomSeen.bloom_probe(bloomBc, bloomRecent.toList, $"url_hash"))
-        val definitelyNew = probed.filter(!$"_maybe_seen").drop("_maybe_seen")
-        val maybe = probed.filter($"_maybe_seen").drop("_maybe_seen")
+        // SINGLE-PASS shape (r6, guide §2.4): the previous definitelyNew ∪
+        // resolved union scanned the frontier base and every delta TWICE with
+        // full rows (once per bloom branch — the union's branches are
+        // separate subplans, so nothing shares the scan). Equivalent in one
+        // pass: collect the maybe KEYS from a narrow (url_hash-only,
+        // column-pruned) probe scan, resolve them exactly against seen, and
+        // anti-join schedBase once against the resolved matches — rows the
+        // bloom cleared are never in seenMatch (no false negatives), rows it
+        // flagged survive iff the exact resolve clears them. Same result set,
+        // half the full-row frontier reads per batch.
+        val maybeKeys = schedBase.select("url_hash")
+          .filter(BloomSeen.bloom_probe(bloomBc, bloomRecent.toList, $"url_hash"))
         // arithmetic pre-check: the expected maybe-set is ~fpp × |frontier|;
         // when that already exceeds the pushdown cap, don't pay a collect
         // job that would only hit the cap and fall back anyway
         val maybeBounded =
           if (cfg.bloomFpp * frontCount > cfg.probePushdownMaxKeys) None
-          else timed("maybe_keys")(boundedKeys(maybe))
+          else timed("maybe_keys")(boundedKeys(maybeKeys))
         // broadcast hints only where boundedness is PROVEN (the keyed path's
         // ≤ cap rows); elsewhere AQE decides from runtime stats — a bounded
         // maybe-set still broadcasts, an unbounded bench-sized one becomes a
@@ -745,10 +760,9 @@ class CrawlEngine(
           case Some(ks) => broadcast(
             store.readViewKeyed("seen", committed, emptySeen, ks).select("url_hash"))
           case None => seenDf.select("url_hash")
-            .join(maybe.select("url_hash"), Seq("url_hash"), "left_semi")
+            .join(maybeKeys, Seq("url_hash"), "left_semi")
         }
-        val resolved = maybe.join(seenMatch, Seq("url_hash"), "left_anti")
-        definitelyNew.unionByName(resolved)
+        schedBase.join(seenMatch, Seq("url_hash"), "left_anti")
       } else schedBase // frontier ∩ seen = ∅ is maintained by construction below
 
     // ---- robots gating (north rule): RFC 9309 longest-match over the
@@ -880,9 +894,19 @@ class CrawlEngine(
     val schedCount = timed("sched_rank")(schedDf.count())
     lastSchedCount = schedCount
 
+    // project the scheduled side to ONLY the columns the parse/emit path
+    // consumes (guide §2.3 "project before the exchange"): url, priority_ts,
+    // discovered_batch never appear in the parsed log, yet they rode every
+    // fetch join — ~35% of the broadcast build bytes (the serial driver
+    // HashedRelation term) in the BHJ shape, and the same fraction of the
+    // outer-join shuffle in the semi-filter shape. The full-width schedDf
+    // stays cached for the open-corpus recovery below.
+    val schedSlim = schedDf.select($"url_canon", $"url_hash", $"host", $"seed_id",
+      $"depth", $"since_ts", $"end_ts", $"fetch_ordinal", $"sched_delay_ms")
+
     val fetchedRaw =
       if (cfg.broadcastScheduled)
-        pagesSel.join(broadcast(schedDf), Seq("url_canon")).withColumn("found", lit(true))
+        pagesSel.join(broadcast(schedSlim), Seq("url_canon")).withColumn("found", lit(true))
       else {
         // default fetch shape (round 3): semi-filter then batch-sized join.
         // A tiny 8-byte-key broadcast (the scheduled url hashes) prunes the
@@ -897,7 +921,7 @@ class CrawlEngine(
         val schedKeys = schedDf.select($"url_hash")
         val pagesMatched = pagesSel
           .join(broadcast(schedKeys), xxhash64($"url_canon") === schedKeys("url_hash"), "left_semi")
-        schedDf.join(pagesMatched, Seq("url_canon"), "left_outer")
+        schedSlim.join(pagesMatched, Seq("url_canon"), "left_outer")
           .withColumn("found", $"page_url".isNotNull)
       }
 
@@ -1067,23 +1091,46 @@ class CrawlEngine(
     val linkKeyArr =
       if (schedParsed > cfg.probePushdownMaxKeys) None
       else timed("link_keys")(boundedKeys(linksRaw))
-    // hit sets from the keyed path are provably bounded (≤ cap) — hint the
-    // broadcast; fallback sets are batch-sized, so AQE decides (bounded
-    // politeness batches still broadcast from runtime stats; unbounded bench
-    // batches become partitioned joins — no serial driver broadcast builds)
+    // Mid path (guide §3.2 applied to expansion, r6): when the batch's link
+    // set is too large for literal pushdown but still broadcast-small
+    // (O(batch × fanout) — the normal politeness-bounded case), BROADCAST
+    // the 8-byte link keys once and semi-scan the big state sides with it:
+    // seen/frontier are scanned (column-pruned to url_hash), never shuffled,
+    // and linksRaw itself is never shuffled before the dedup of the
+    // genuinely-new survivors. The previous shape shuffled the link keys
+    // against each state side and then anti-joined the full link rows up to
+    // three more times. Above the cap (recrawl-everything batches) the
+    // r2-shaped shuffle fallback remains.
+    val linkCountForPlan =
+      if (linkKeyArr.isDefined) -1L else timed("link_count")(linksRaw.count())
+    val midPath = linkKeyArr.isEmpty && linkCountForPlan <= cfg.linksBroadcastMaxKeys
+    lazy val linkKeysBcast = broadcast(linksRaw.select("url_hash"))
     def membershipHits(table: String, fullDf: DataFrame, schemaOf: => DataFrame): DataFrame =
       linkKeyArr match {
-        case Some(ks) => broadcast(
-          store.readViewKeyed(table, committed, schemaOf, ks).select("url_hash"))
+        case Some(ks) =>
+          store.readViewKeyed(table, committed, schemaOf, ks).select("url_hash")
+        case None if midPath => fullDf.select("url_hash")
+          .join(linkKeysBcast, Seq("url_hash"), "left_semi")
         case None => fullDf.select("url_hash")
           .join(linksRaw.select("url_hash"), Seq("url_hash"), "left_semi")
       }
     val seenHit = membershipHits("seen", seenDf, emptySeen)
     val frontHit = membershipHits("frontier", front, emptyFrontier)
+    // ONE union-exclude anti-join instead of three chained antis (guide
+    // §2.4): the three exclusion sets are all url_hash key sets, so linksRaw
+    // is probed once against their union — one join (broadcast-hinted when
+    // every component is provably bounded: keyed ≤ 3×cap keys; mid ≤
+    // 3×linkCount after the processed semi) instead of three passes over the
+    // full link rows.
+    val processedExcl =
+      if (midPath) processedHashes.join(linkKeysBcast, Seq("url_hash"), "left_semi")
+      else processedHashes
+    val excludeKeys = processedExcl
+      .unionByName(seenHit).unionByName(frontHit)
+    val excludeSide =
+      if (linkKeyArr.isDefined || midPath) broadcast(excludeKeys) else excludeKeys
     val newFrontAdds = linksRaw
-      .join(processedHashes, Seq("url_hash"), "left_anti")
-      .join(seenHit, Seq("url_hash"), "left_anti")
-      .join(frontHit, Seq("url_hash"), "left_anti")
+      .join(excludeSide, Seq("url_hash"), "left_anti")
       .withColumn("host", gf.url_host($"url_canon"))
       .withColumn("priority_ts", $"warc_ts")
       .withColumn("discovered_batch", lit(batchId))
@@ -1135,6 +1182,10 @@ class CrawlEngine(
     // are SUBMITTED CONCURRENTLY — each is a small job whose fixed
     // submission/commit latency would otherwise serialize on the driver
     // (the per-batch fixed term of the executor-JVM scaling pair).
+    if (sys.env.contains("GRAFT_EXPLAIN")) {
+      println(s"==== batch $batchId: frontier-adds physical plan ====")
+      println(org.apache.spark.sql.graftbridge.executedPlanString(newFrontAdds))
+    }
     val addsObs = org.apache.spark.sql.Observation()
     val commitPool = scala.concurrent.ExecutionContext.global
     val fAdds = scala.concurrent.Future(timed("write_fr_adds")(

@@ -1,0 +1,125 @@
+package graft.tools
+
+import org.apache.spark.sql.SparkSession
+
+/**
+ * Round-6 optimization probe (guide §1: measure first). Replicates the
+ * driver bench's components in isolation so each optimization's effect can
+ * be measured without paying a full bench run:
+ *
+ *   crawl [nPages] [batches]  — in-session crawlBench (broadcast shape) with
+ *                               the per-phase wall decomposition printed
+ *   crawlsemi [nPages]        — same, broadcastSched = false (semi-filter)
+ *   head                      — the head_sched bounded-crawl pair (1 warmup
+ *                               pair + 2 measured pairs) with phase totals
+ *   pack [prefix]             — query-pack timings on SPARK_GRAFT_SF_DIR,
+ *                               one line per query (optionally filtered by
+ *                               name prefix), with per-query job/stage counts
+ *   jobs <qname>              — run ONE query with a job listener printing
+ *                               every job's wall time + description
+ *
+ * All output lines start with R6 for greppability. This main is additive:
+ * Bench.scala / Verify.scala are frozen (driver contract).
+ */
+object R6Probe {
+
+  def main(args: Array[String]): Unit = {
+    val mode = if (args.nonEmpty) args(0) else "crawl"
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32").toInt
+    val spark = graft.Bench.session(cpus)
+
+    mode match {
+      case "crawl" | "crawlsemi" =>
+        val n = if (args.length > 1) args(1).toLong else 1500000L
+        val batches = if (args.length > 2) args(2).toInt else 2
+        val rep = 50
+        graft.Bench.corpus(spark, n, rep).count()
+        // warmup (JIT/codegen) exactly like ScalingProbe
+        graft.Bench.crawlBench(spark, 50000L, cpus, 1, rep)
+        val bcast = mode == "crawl"
+        val (f, dt, phases) = graft.Bench.crawlBenchWith(
+          spark, graft.Bench.corpus(spark, n, rep), cpus, batches,
+          broadcastSched = bcast)
+        println(f"R6 PROBE mode=$mode pages=$n fetched=$f sec=$dt%.2f tp=${f / dt}%.0f")
+        println("R6 PHASES " + phases.toSeq.sortBy(-_._2)
+          .map { case (k, v) => f"$k=$v%.2f" }.mkString(" "))
+
+      case "head" =>
+        val n = 1500000L
+        val rep = 50
+        val pages = graft.Bench.corpus(spark, n, rep)
+        pages.count()
+        def bounded(head: Boolean): (Double, Map[String, Double]) = {
+          val preload = graft.Bench.preloadFrontier(pages)
+          val stateDir = java.nio.file.Files.createTempDirectory(s"graft_r6h_$head").toString
+          val eng = new graft.crawl.CrawlEngine(spark, pages, stateDir,
+            graft.crawl.CrawlConfig(
+              defaultHostBudget = 16, defaultDelayMs = 0L,
+              maxDepth = 8, saltBuckets = 1, shufflePartitions = cpus * 2,
+              bloomMinSeen = 100000, broadcastScheduled = true,
+              detailedMetrics = false, corpusUnique = true,
+              compactEvery = 4, headTable = head))
+          eng.initializeWithFrontier(preload)
+          val t0 = System.nanoTime()
+          eng.run(6)
+          val dt = (System.nanoTime() - t0) / 1e9
+          val ph = eng.timingTotals
+          try graft.crawl.StateStore.deleteRecursively(java.nio.file.Paths.get(stateDir))
+          catch { case _: Throwable => }
+          (dt, ph)
+        }
+        bounded(head = false); bounded(head = true) // warmups
+        for (i <- 1 to 2; h <- Seq(false, true)) {
+          val (dt, ph) = bounded(h)
+          println(f"R6 HEAD pair=$i head=$h sec=$dt%.2f")
+          println("R6 HEADPHASES head=" + h + " " + ph.toSeq.sortBy(-_._2)
+            .map { case (k, v) => f"$k=$v%.2f" }.mkString(" "))
+        }
+
+      case "pack" =>
+        val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+        val prefix = if (args.length > 1) args(1) else ""
+        val fixtureSec = graft.SparkEntry.prepareFixtures(spark, sfDir)
+        println(f"R6 FIXTURE sec=$fixtureSec%.2f")
+        val nJobs = new java.util.concurrent.atomic.AtomicInteger()
+        spark.sparkContext.addSparkListener(new org.apache.spark.scheduler.SparkListener {
+          override def onJobStart(j: org.apache.spark.scheduler.SparkListenerJobStart): Unit =
+            nJobs.incrementAndGet()
+        })
+        var total = 0.0
+        graft.SparkEntry.queries.toSeq.sortBy(_._1)
+          .filter(_._1.startsWith(prefix)).foreach { case (name, fn) =>
+            val j0 = nJobs.get()
+            val t0 = System.nanoTime()
+            try fn(spark, sfDir).count() catch { case e: Throwable =>
+              println(s"R6 QERR $name ${e.getMessage.take(100)}") }
+            val dt = (System.nanoTime() - t0) / 1e9
+            total += dt
+            println(f"R6 Q $name%-28s sec=$dt%7.2f jobs=${nJobs.get() - j0}%4d")
+          }
+        println(f"R6 PACKTOTAL sec=$total%.2f")
+
+      case "jobs" =>
+        val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+        val qname = args(1)
+        graft.SparkEntry.prepareFixtures(spark, sfDir)
+        val fn = graft.SparkEntry.queries(qname)
+        fn(spark, sfDir).count() // warm run (codegen/JIT)
+        spark.sparkContext.addSparkListener(new org.apache.spark.scheduler.SparkListener {
+          val starts = new java.util.concurrent.ConcurrentHashMap[Int, Long]()
+          override def onJobStart(j: org.apache.spark.scheduler.SparkListenerJobStart): Unit =
+            starts.put(j.jobId, System.nanoTime())
+          override def onJobEnd(j: org.apache.spark.scheduler.SparkListenerJobEnd): Unit = {
+            val t0 = Option(starts.get(j.jobId)).getOrElse(0L)
+            println(f"R6 JOB id=${j.jobId}%4d wall=${(System.nanoTime() - t0) / 1e9}%6.3f")
+          }
+        })
+        val t0 = System.nanoTime()
+        fn(spark, sfDir).count()
+        println(f"R6 JOBTOTAL $qname sec=${(System.nanoTime() - t0) / 1e9}%.2f")
+
+      case other => sys.error(s"unknown mode $other")
+    }
+    spark.stop()
+  }
+}
