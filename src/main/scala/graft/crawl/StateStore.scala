@@ -60,6 +60,30 @@ class StateStore(spark: SparkSession, root: String, codec: String = "snappy") {
   Files.createDirectories(rootPath)
   private val committedFile = rootPath.resolve("_COMMITTED")
 
+  /** Parquet read-schema cache, keyed by table family (r6, guide §1/§7.3):
+    * every schema-less `spark.read.parquet` pays a footer-inference pass —
+    * a 1-task driver job per read. A crawl batch reads each state family
+    * several times (base, deltas, logs), so at toy/oracle scale those
+    * inference jobs plus their planning dominated the batch (measured: q50
+    * spent >half its wall between jobs, with dozens of 1-task `parquet at
+    * StateStore` jobs). Schemas are constant per family for the life of a
+    * store, so the FIRST read infers and later reads reuse. The cached
+    * schema is what Spark inferred (partition columns like `_hb`/`batch`
+    * included), so reads are byte-identical to the uncached ones. */
+  private val schemaCache =
+    new java.util.concurrent.ConcurrentHashMap[String, org.apache.spark.sql.types.StructType]()
+  private def readCached(key: String, basePath: Option[String], paths: Seq[String]): DataFrame = {
+    val r0 = spark.read
+    val r1 = basePath.fold(r0)(b => r0.option("basePath", b))
+    val cached = schemaCache.get(key)
+    if (cached != null) r1.schema(cached).parquet(paths: _*)
+    else {
+      val df = r1.parquet(paths: _*)
+      schemaCache.put(key, df.schema)
+      df
+    }
+  }
+
   /** Last fully-committed batch id; -1 if none. */
   def committedBatch: Long =
     if (Files.exists(committedFile))
@@ -88,7 +112,7 @@ class StateStore(spark: SparkSession, root: String, codec: String = "snappy") {
 
   /** Read snapshot-table state at the given (committed) version; empty DF w/ given schema if absent. */
   def read(table: String, v: Long, schemaOf: => DataFrame): DataFrame =
-    if (exists(table, v)) spark.read.parquet(versionDir(table, v))
+    if (exists(table, v)) readCached(s"snap:$table", None, Seq(versionDir(table, v)))
     else schemaOf.limit(0)
 
   /** Write the next version of a snapshot table (overwrite ⇒ retry-idempotent). */
@@ -182,7 +206,7 @@ class StateStore(spark: SparkSession, root: String, codec: String = "snappy") {
         n.startsWith("_hb=") || n.endsWith(".parquet")
       })
       finally st.close()
-    if (hasData) spark.read.parquet(dir.toString) else schemaOf.limit(0)
+    if (hasData) readCached(s"base:$table", None, Seq(dir.toString)) else schemaOf.limit(0)
   }
 
   /** Per-batch added rows — O(batch) bytes. */
@@ -199,7 +223,7 @@ class StateStore(spark: SparkSession, root: String, codec: String = "snappy") {
   def readDeltaAdds(table: String, afterExcl: Long, upToIncl: Long): Option[DataFrame] = {
     val ids = listIds(rootPath.resolve(table).resolve("delta_add"), "batch=", afterExcl, upToIncl)
     if (ids.isEmpty) None
-    else Some(spark.read.parquet(ids.map(addDir(table, _).toString): _*))
+    else Some(readCached(s"adds:$table", None, ids.map(addDir(table, _).toString)))
   }
 
   /** The del-key set one batch wrote, as a url_hash column (parquet-backed —
@@ -211,7 +235,7 @@ class StateStore(spark: SparkSession, root: String, codec: String = "snappy") {
   private def readDeltaDels(table: String, afterExcl: Long, upToIncl: Long): Option[DataFrame] = {
     val ids = listIds(rootPath.resolve(table).resolve("delta_del"), "batch=", afterExcl, upToIncl)
     if (ids.isEmpty) None
-    else Some(spark.read.parquet(ids.map(delDir(table, _).toString): _*))
+    else Some(readCached(s"dels:$table", None, ids.map(delDir(table, _).toString)))
   }
 
   /** Reconstruct the table view at batch `v`: base ∪ adds, minus keys with a
@@ -342,7 +366,7 @@ class StateStore(spark: SparkSession, root: String, codec: String = "snappy") {
     val found = listIds(dir, "batch=", afterBatch, upToBatch)
       .map(b => dir.resolve(s"batch=$b").toString)
     if (found.isEmpty) None
-    else Some(spark.read.option("basePath", dir.toString).parquet(found: _*))
+    else Some(readCached(s"log:$table", Some(dir.toString), found))
   }
 }
 

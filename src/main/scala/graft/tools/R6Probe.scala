@@ -106,12 +106,15 @@ object R6Probe {
         val fn = graft.SparkEntry.queries(qname)
         fn(spark, sfDir).count() // warm run (codegen/JIT)
         spark.sparkContext.addSparkListener(new org.apache.spark.scheduler.SparkListener {
-          val starts = new java.util.concurrent.ConcurrentHashMap[Int, Long]()
-          override def onJobStart(j: org.apache.spark.scheduler.SparkListenerJobStart): Unit =
-            starts.put(j.jobId, System.nanoTime())
+          val starts = new java.util.concurrent.ConcurrentHashMap[Int, (Long, String, Int)]()
+          override def onJobStart(j: org.apache.spark.scheduler.SparkListenerJobStart): Unit = {
+            val site = j.stageInfos.lastOption.map(_.name).getOrElse("?")
+            val nTasks = j.stageInfos.map(_.numTasks).sum
+            starts.put(j.jobId, (System.nanoTime(), site, nTasks))
+          }
           override def onJobEnd(j: org.apache.spark.scheduler.SparkListenerJobEnd): Unit = {
-            val t0 = Option(starts.get(j.jobId)).getOrElse(0L)
-            println(f"R6 JOB id=${j.jobId}%4d wall=${(System.nanoTime() - t0) / 1e9}%6.3f")
+            val (t0, site, nTasks) = Option(starts.get(j.jobId)).getOrElse((0L, "?", 0))
+            println(f"R6 JOB id=${j.jobId}%4d wall=${(System.nanoTime() - t0) / 1e9}%6.3f tasks=$nTasks%3d $site")
           }
         })
         val t0 = System.nanoTime()
