@@ -948,7 +948,15 @@ class CrawlEngine(
     // weibo.py:2769-2778). Data-only runs skip the extra shuffle entirely
     // and carry a null stamp.
     val fetchedStamped = fetchedUniq.withColumn("paced_at_ms", lit(null).cast("long"))
-    val paced = if (cfg.realTimePacing) pace(fetchedStamped) else fetchedStamped
+    // zero-budget fast path (r6): when every effective delay is 0 (config
+    // default and all per-host overrides), the pacing stage has nothing to
+    // enforce — skip its repartition + in-partition sort + per-row stamping
+    // entirely (measured as a double-digit-% throughput tax at a zero delay
+    // budget in the r5 bench's `paced` probe). Any nonzero budget anywhere
+    // keeps the full wall-clock machinery.
+    val pacingActive = cfg.realTimePacing &&
+      (cfg.defaultDelayMs > 0 || cfg.perHostDelayMs.values.exists(_ > 0))
+    val paced = if (pacingActive) pace(fetchedStamped) else fetchedStamped
 
     // ---- F3 time window + U1 parse + invariant check + U5 outlinks.
     // Windows are HALF-OPEN [since, end): the reference's inclusive 23:59:59
@@ -1270,11 +1278,9 @@ class CrawlEngine(
       "invariant_violations" -> invariantViolations,
       "frontier_size" -> newFrontierSize, "seen_size" -> newSeenSize,
       "partitions_used" -> nPartitions)
-    store.appendLog("ledger", batchId,
-      Seq((batchId, "SUCCESS", candidateCount, schedCount, inRange, notFound,
-        robotsBlockedCount, invariantViolations, newFrontierSize, newSeenSize, nPartitions))
-        .toDF("batch_id", "state", "candidates", "scheduled", "fetched", "not_found",
-          "robots_blocked", "invariant_violations", "frontier_size", "seen_size", "partitions_used"))
+    store.appendLogDirect("ledger", batchId, CrawlEngine.LedgerSchema,
+      Seq(Seq(batchId, "SUCCESS", candidateCount, schedCount, inRange, notFound,
+        robotsBlockedCount, invariantViolations, newFrontierSize, newSeenSize, nPartitions)))
     store.commit(batchId)
     seenSizeCache = newSeenSize
     frontierSizeCache = newFrontierSize
@@ -1296,14 +1302,15 @@ class CrawlEngine(
   private def notifyOnce(condition: String, message: String): Unit =
     if (notifiedConditions.add(condition)) notifier.notify(message)
 
-  private def ledgerRow(batchId: Long, state: String, seenSizeNow: Long,
+  /** One ledger row, written DRIVER-DIRECT (no Spark job — the ledger is a
+    * 1-row-per-batch log and a per-batch write job was pure fixed cost). */
+  private def writeLedgerRow(batchId: Long, state: String, seenSizeNow: Long,
       candidates: Long = -1, scheduled: Long = -1, fetchedN: Long = -1,
       notFound: Long = -1, robotsBlocked: Long = -1, violations: Long = -1,
-      frontierSize: Long = -1, nPartitions: Long = -1): DataFrame =
-    Seq((batchId, state, candidates, scheduled, fetchedN, notFound,
-      robotsBlocked, violations, frontierSize, seenSizeNow, nPartitions))
-      .toDF("batch_id", "state", "candidates", "scheduled", "fetched", "not_found",
-        "robots_blocked", "invariant_violations", "frontier_size", "seen_size", "partitions_used")
+      frontierSize: Long = -1, nPartitions: Long = -1): Unit =
+    store.appendLogDirect("ledger", batchId, CrawlEngine.LedgerSchema,
+      Seq(Seq(batchId, state, candidates, scheduled, fetchedN, notFound,
+        robotsBlocked, violations, frontierSize, seenSizeNow, nPartitions)))
 
   /** latest ROTATED ledger entry — the rotation watermark bounding which
     * deferred-log batches the next rotation may re-open (ADVICE r1: without
@@ -1370,8 +1377,7 @@ class CrawlEngine(
     // snapshot is persisted here: the new seen base is NEWER than the bloom
     // snapshot, so both the resume path and the next compaction fold detect
     // the gap and rebuild exactly (ensureBlobs/refreshBloomAtCompaction).
-    store.appendLog("ledger", batchId,
-      ledgerRow(batchId, "ROTATED", seenNow, frontierSize = frontNow))
+    writeLedgerRow(batchId, "ROTATED", seenNow, frontierSize = frontNow)
     store.commit(batchId)
     seenSizeCache = seenNow
     frontierSizeCache = frontNow
@@ -1449,8 +1455,8 @@ class CrawlEngine(
       if (bloomRecent.size >= cfg.bloomRecentCap)
         refreshBloomAtCompaction(batchId, newSeen)
     }
-    store.appendLog("ledger", batchId, ledgerRow(batchId, "PURGED", newSeen,
-      robotsBlocked = n, frontierSize = newFront))
+    writeLedgerRow(batchId, "PURGED", newSeen,
+      robotsBlocked = n, frontierSize = newFront)
     store.commit(batchId)
     seenSizeCache = newSeen
     frontierSizeCache = newFront
@@ -1549,8 +1555,7 @@ class CrawlEngine(
     var continue = true
     while (i < maxBatches && continue) {
       if (stopRequested) {
-        store.appendLog("ledger", store.committedBatch + 1,
-          ledgerRow(store.committedBatch + 1, "STOPPED", seenSize(store.committedBatch)))
+        writeLedgerRow(store.committedBatch + 1, "STOPPED", seenSize(store.committedBatch))
         notifyOnce("stopped", s"run stopped by command at batch ${store.committedBatch + 1}")
         continue = false
       } else if (frontierSize(store.committedBatch) == 0) {
@@ -1566,6 +1571,19 @@ class CrawlEngine(
 }
 
 object CrawlEngine {
+  /** Ledger row schema — long/string only, written driver-direct
+    * (StateStore.appendLogDirect); nullability mirrors what a Spark write of
+    * the same local tuples produced (primitives required, string optional). */
+  private[crawl] val LedgerSchema: org.apache.spark.sql.types.StructType = {
+    import org.apache.spark.sql.types._
+    StructType(
+      StructField("batch_id", LongType, nullable = false) ::
+      StructField("state", StringType, nullable = true) ::
+      List("candidates", "scheduled", "fetched", "not_found", "robots_blocked",
+        "invariant_violations", "frontier_size", "seen_size", "partitions_used")
+        .map(StructField(_, LongType, nullable = false)))
+  }
+
   /** serializes the scoped conf raise/restore across concurrently running
     * engines on the same session (check-then-set must be atomic). */
   private val confLock = new Object

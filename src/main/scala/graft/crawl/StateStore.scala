@@ -320,6 +320,59 @@ class StateStore(spark: SparkSession, root: String, codec: String = "snappy") {
   def appendLog(table: String, batch: Long, df: DataFrame): Unit =
     df.write.mode("overwrite").option("compression", codec).parquet(rootPath.resolve(table).resolve(s"batch=$batch").toString)
 
+  /** Driver-direct append of a TINY, driver-local log row set (the ledger:
+    * one row per batch). Routing a 1-row LocalRelation through a Spark write
+    * job costs a full plan + job + commit-protocol round per batch — pure
+    * fixed overhead at high batch rates (guide §1.2: per-batch job count is
+    * the scale killer). This writes the parquet file with parquet-mr on the
+    * driver thread: same directory layout, same `_SUCCESS` marker, same
+    * codec, byte-compatible with [[readLog]] (long → required INT64 and
+    * string → optional BINARY/UTF8, matching what a Spark write of the same
+    * local rows produced). Only long/string columns are supported — exactly
+    * the ledger's shape; anything else must go through [[appendLog]]. */
+  def appendLogDirect(table: String, batch: Long,
+      schema: org.apache.spark.sql.types.StructType, rows: Seq[Seq[Any]]): Unit = {
+    import org.apache.parquet.schema.{PrimitiveType, Type, Types => PTypes}
+    import org.apache.spark.sql.types.{LongType, StringType}
+    val dir = rootPath.resolve(table).resolve(s"batch=$batch")
+    StateStore.deleteRecursively(dir) // retry-idempotent, like mode(overwrite)
+    Files.createDirectories(dir)
+    val b = PTypes.buildMessage()
+    schema.fields.foreach { f =>
+      val rep = if (f.nullable) Type.Repetition.OPTIONAL else Type.Repetition.REQUIRED
+      f.dataType match {
+        case LongType => b.addField(PTypes.primitive(
+          PrimitiveType.PrimitiveTypeName.INT64, rep).named(f.name))
+        case StringType => b.addField(PTypes.primitive(
+          PrimitiveType.PrimitiveTypeName.BINARY, rep)
+          .as(org.apache.parquet.schema.LogicalTypeAnnotation.stringType()).named(f.name))
+        case other => sys.error(s"appendLogDirect: unsupported type $other for ${f.name}")
+      }
+    }
+    val msgType = b.named("spark_schema")
+    val file = new org.apache.hadoop.fs.Path(dir.resolve("part-00000-direct.parquet").toString)
+    val codecName = org.apache.parquet.hadoop.metadata.CompressionCodecName
+      .valueOf(codec.toUpperCase)
+    val fac = new org.apache.parquet.example.data.simple.SimpleGroupFactory(msgType)
+    val w = org.apache.parquet.hadoop.example.ExampleParquetWriter.builder(file)
+      .withType(msgType).withCompressionCodec(codecName).build()
+    try rows.foreach { r =>
+      val g = fac.newGroup()
+      schema.fields.zip(r).foreach { case (f, v) =>
+        if (v != null) f.dataType match {
+          case LongType => g.add(f.name, v.asInstanceOf[Long])
+          case StringType => g.add(f.name, v.asInstanceOf[String])
+          case _ => ()
+        }
+      }
+      w.write(g)
+    } finally w.close()
+    // parquet-mr leaves a .crc sidecar; harmless, but Spark's committer does
+    // not produce one — drop it so the directory layout stays identical
+    Files.deleteIfExists(dir.resolve(".part-00000-direct.parquet.crc"))
+    Files.createFile(dir.resolve("_SUCCESS"))
+  }
+
   /** Generic MERGE with latest-wins semantics (the reference's upsert sinks:
     * SQLite INSERT OR REPLACE weibo.py:2530-2541, MySQL ON DUPLICATE KEY
     * weibo.py:2105-2147, Mongo find+update weibo.py:2040-2064, JSON
