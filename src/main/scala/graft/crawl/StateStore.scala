@@ -186,10 +186,19 @@ class StateStore(spark: SparkSession, root: String, codec: String = "snappy") {
     def counted(d: DataFrame): DataFrame =
       rowCount.fold(d)(o => d.observe(o, org.apache.spark.sql.functions.count(lit(1)).as("n")))
     if (clusterPartitions > 0 && df.columns.contains("url_hash")) {
-      counted(df.repartitionByRange(clusterPartitions, col("url_hash"))
-          .sortWithinPartitions("url_hash"))
-        .withColumn("_hb", hbCol)
-        .write.mode("overwrite").option("compression", codec).partitionBy("_hb").parquet(dir)
+      // the range partitioner's sampling job executes the FULL input lineage
+      // once before the write executes it again (r6, guide §5 caching rule:
+      // reused AND expensive to recompute) — for compaction/rotation inputs
+      // that lineage is the base ∪ deltas anti-join view. Persist the input
+      // across the two passes; MEMORY_AND_DISK bounds the cost at the
+      // materialized snapshot size, which the write pays anyway.
+      val cached = df.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      try {
+        counted(cached.repartitionByRange(clusterPartitions, col("url_hash"))
+            .sortWithinPartitions("url_hash"))
+          .withColumn("_hb", hbCol)
+          .write.mode("overwrite").option("compression", codec).partitionBy("_hb").parquet(dir)
+      } finally cached.unpersist()
     } else counted(df).write.mode("overwrite").option("compression", codec).parquet(dir)
   }
 

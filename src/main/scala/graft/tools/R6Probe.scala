@@ -76,6 +76,57 @@ object R6Probe {
             .map { case (k, v) => f"$k=$v%.2f" }.mkString(" "))
         }
 
+      case "fetchparts" =>
+        // decompose the fetch+parse+write stage (guide §1.4 noop isolation):
+        // scan-only, scan+parse, scan+BHJ(sched)+parse, and the full write.
+        import org.apache.spark.sql.functions._
+        val n = if (args.length > 1) args(1).toLong else 1500000L
+        val rep = 50
+        val pages = graft.Bench.corpus(spark, n, rep)
+        pages.count()
+        val canon = pages.withColumn("url_canon", graft.functions.gf.canonicalize_url(col("url")))
+        val sched = graft.Bench.preloadFrontier(pages)
+          .withColumn("fetch_ordinal", lit(1)).withColumn("sched_delay_ms", lit(0L))
+          .persist()
+        sched.count()
+        def noop(df: org.apache.spark.sql.DataFrame): Unit =
+          df.write.format("noop").mode("overwrite").save()
+        def t(label: String)(f: => Unit): Unit = {
+          f // warm
+          val t0 = System.nanoTime(); f
+          println(f"R6 PART $label%-18s ${(System.nanoTime() - t0) / 1e9}%6.2f s")
+        }
+        t("scan6col")(noop(canon.select("url_canon", "warc_ts", "html", "text", "lang")))
+        t("scan_parse")(noop(canon.select(col("url_canon"),
+          graft.functions.gf.extract_parsed(col("html")).as("p"))))
+        val slim = sched.select("url_canon", "url_hash", "host", "seed_id",
+          "depth", "since_ts", "end_ts", "fetch_ordinal", "sched_delay_ms")
+        t("bhj_parse")(noop(canon.join(broadcast(slim), Seq("url_canon"))
+          .select(col("url_canon"), col("seed_id"),
+            graft.functions.gf.extract_parsed(col("html")).as("p"))))
+        t("bhj_parse_proj")(noop {
+          val j = canon.join(broadcast(slim), Seq("url_canon"))
+          j.withColumn("_p", graft.functions.gf.extract_parsed(col("html")))
+            .select(col("url_canon"), col("url_hash"), col("host"), col("seed_id"),
+              col("depth"), col("since_ts"), col("end_ts"), col("warc_ts"), col("lang"),
+              col("_p").getField("text").as("text_extracted"),
+              col("_p").getField("outlinks").as("outlinks"),
+              (col("_p").getField("text") <=> col("text")).as("invariant_ok"),
+              col("fetch_ordinal"), col("sched_delay_ms"))
+        })
+        t("bhj_parse_write") {
+          val j = canon.join(broadcast(slim), Seq("url_canon"))
+          j.withColumn("_p", graft.functions.gf.extract_parsed(col("html")))
+            .select(col("url_canon"), col("url_hash"), col("host"), col("seed_id"),
+              col("depth"), col("since_ts"), col("end_ts"), col("warc_ts"), col("lang"),
+              col("_p").getField("text").as("text_extracted"),
+              col("_p").getField("outlinks").as("outlinks"),
+              (col("_p").getField("text") <=> col("text")).as("invariant_ok"),
+              col("fetch_ordinal"), col("sched_delay_ms"))
+            .write.mode("overwrite").option("compression", "snappy")
+            .parquet("/tmp/graft_r6_fetchparts")
+        }
+
       case "pack" =>
         val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
         val prefix = if (args.length > 1) args(1) else ""
