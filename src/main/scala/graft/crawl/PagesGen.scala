@@ -1,6 +1,5 @@
 package graft.crawl
 
-import graft.functions.TextExtract
 import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
 
 /** One Common-Crawl-style page row (BASELINE.json.input_hint shape). */
@@ -116,7 +115,12 @@ object PagesGen {
     (sb.toString, lang)
   }
 
-  /** Pure row constructor. text := extractText(html) — invariant by construction. */
+  /** Pure row constructor. text := extractText(html) — invariant by
+    * construction. Computed via the single-pass scanner (r6): byte-identical
+    * to TextExtract.extractText over this generator's html family
+    * (FastParseSpec asserts equality across the full corpus), at a fraction
+    * of the DOM path's cost — corpus generation is the cold bench's first
+    * wall-clock term. */
   def page(i: Long, n: Long, crossLinks: Boolean = true, bodyRepeat: Int = 0): Page = {
     val s = numSeeds(n)
     val seedId = Math.floorMod(i, s)
@@ -126,7 +130,7 @@ object PagesGen {
       url = urlOf(seedId, postId, n),
       warc_ts = new java.sql.Timestamp(tsOf(seedId, postId)),
       html = html.getBytes(java.nio.charset.StandardCharsets.UTF_8),
-      text = TextExtract.extractText(html),
+      text = graft.functions.FastParse.parse(html).text,
       lang = lang)
   }
 
