@@ -1215,11 +1215,17 @@ object SparkEntry {
       rankMode: String = "auto",
       broadcastScheduled: Boolean = false): CrawlEngine = {
     // one scratch state dir per distinct oracle configuration, CLEARED per
-    // invocation (repeated bench runs reuse it instead of leaking temp dirs)
+    // invocation (repeated bench runs reuse it instead of leaking temp dirs).
+    // Keyed COLLISION-FREE (ADVICE r5): a 32-bit hashCode collision between
+    // two configs would let the later query clear the earlier query's state
+    // dir while its lazily-evaluated DataFrame may still read it — sha-256
+    // of the full rendered tuple cannot collide in practice.
     val st = scratchFresh("crawl_oracle_" +
-      java.lang.Integer.toHexString(
-        (headTable, robots, budget, seedSpecs, caps, robotsTxt,
-          rankMode, broadcastScheduled).hashCode))
+      java.security.MessageDigest.getInstance("SHA-256")
+        .digest((headTable, robots, budget, seedSpecs, caps, robotsTxt,
+          rankMode, broadcastScheduled).toString
+          .getBytes(java.nio.charset.StandardCharsets.UTF_8))
+        .take(12).map("%02x".format(_)).mkString)
     val corpus = crawlOracleCorpusCached(s, dir)
     val cfg0 = CrawlConfig(defaultHostBudget = budget, maxDepth = 64, shufflePartitions = 8,
       detailedMetrics = false, headTable = headTable, robotsDisallow = robots,

@@ -91,7 +91,7 @@ object Robots {
   def crawlDelayMs(robotsTxt: String, agent: String = "*"): Option[Long] =
     matchingLines(robotsTxt, agent).collect {
       case ("crawl-delay", v) => scala.util.Try(v.toDouble).toOption
-    }.flatten.lastOption.filter(d => d >= 0 && !d.isInfinite)
+    }.flatten.filter(d => d >= 0 && !d.isInfinite).lastOption
       .map(d => math.round(d * 1000))
 
   /** Disallow prefixes only (the conservative pre-r4 gating input; kept for

@@ -134,7 +134,24 @@ object FastParse {
 
     val n = b.length
     val links = ArrayBuffer.empty[String]
-    val out = new java.io.ByteArrayOutputStream(n)
+    // plain growable byte buffer (r6): ByteArrayOutputStream's writes are
+    // synchronized methods the JIT cannot always elide across the non-inlined
+    // emit path — pure overhead on the hottest per-byte loop in the engine.
+    // Text output is bounded by the page size in practice (entity decodes
+    // shrink, separators replace tags), so the initial capacity rarely grows.
+    var outBuf = new Array[Byte](math.max(n, 16))
+    var outLen = 0
+    def outEnsure(extra: Int): Unit = {
+      if (outLen + extra > outBuf.length) {
+        var cap = outBuf.length * 2
+        while (cap < outLen + extra) cap *= 2
+        outBuf = java.util.Arrays.copyOf(outBuf, cap)
+      }
+    }
+    def outByte(c: Byte): Unit = { outEnsure(1); outBuf(outLen) = c; outLen += 1 }
+    def outBytes(src: Array[Byte], off: Int, len: Int): Unit = {
+      outEnsure(len); System.arraycopy(src, off, outBuf, outLen, len); outLen += len
+    }
     var first = true
     var prevStarts = false
     var sawZwsp = false
@@ -172,16 +189,16 @@ object FastParse {
         if (decoded.isEmpty) return
         val c0 = decoded.charAt(0)
         val starts = c0 == '@' || c0 == '#'
-        if (!first && !(prevStarts || starts)) out.write('\n')
+        if (!first && !(prevStarts || starts)) outByte('\n')
         val enc = decoded.getBytes(Utf8)
-        out.write(enc, 0, enc.length)
+        outBytes(enc, 0, enc.length)
         if (decoded.indexOf('​') >= 0) sawZwsp = true
         prevStarts = starts; first = false
       } else {
         val c0 = b(start)
         val starts = c0 == '@' || c0 == '#'
-        if (!first && !(prevStarts || starts)) out.write('\n')
-        out.write(b, start, end - start)
+        if (!first && !(prevStarts || starts)) outByte('\n')
+        outBytes(b, start, end - start)
         prevStarts = starts; first = false
       }
     }
@@ -217,9 +234,10 @@ object FastParse {
       }
     }
 
-    var bytesOut = out.toByteArray
-    if (sawZwsp) bytesOut = stripZwsp(bytesOut)
-    new Result(new String(bytesOut, Utf8), links.toArray)
+    if (sawZwsp) {
+      val stripped = stripZwsp(java.util.Arrays.copyOf(outBuf, outLen))
+      new Result(new String(stripped, Utf8), links.toArray)
+    } else new Result(new String(outBuf, 0, outLen, Utf8), links.toArray)
   }
 
   /** remove every E2 80 8B (zero-width space) sequence. */

@@ -76,6 +76,55 @@ object R6Probe {
             .map { case (k, v) => f"$k=$v%.2f" }.mkString(" "))
         }
 
+      case "headjob" =>
+        // one bounded crawl with a per-job listener: where do the ~4 s/batch go?
+        val pages = graft.Bench.corpus(spark, 1500000L, 50)
+        pages.count()
+        def engRun(): Unit = {
+          val stateDir = java.nio.file.Files.createTempDirectory("graft_r6hj").toString
+          val eng = new graft.crawl.CrawlEngine(spark, pages, stateDir,
+            graft.crawl.CrawlConfig(
+              defaultHostBudget = 16, defaultDelayMs = 0L,
+              maxDepth = 8, saltBuckets = 1, shufflePartitions = cpus * 2,
+              bloomMinSeen = 100000, broadcastScheduled = true,
+              detailedMetrics = false, corpusUnique = true,
+              compactEvery = 4, headTable = false))
+          eng.initializeWithFrontier(graft.Bench.preloadFrontier(pages))
+          eng.run(6)
+          try graft.crawl.StateStore.deleteRecursively(java.nio.file.Paths.get(stateDir))
+          catch { case _: Throwable => }
+        }
+        engRun() // warm
+        spark.sparkContext.addSparkListener(new org.apache.spark.scheduler.SparkListener {
+          val starts = new java.util.concurrent.ConcurrentHashMap[Int, (Long, String, Int)]()
+          override def onJobStart(j: org.apache.spark.scheduler.SparkListenerJobStart): Unit = {
+            val site = j.stageInfos.lastOption.map(_.name).getOrElse("?")
+            val nTasks = j.stageInfos.map(_.numTasks).sum
+            starts.put(j.jobId, (System.nanoTime(), site, nTasks))
+          }
+          override def onJobEnd(j: org.apache.spark.scheduler.SparkListenerJobEnd): Unit = {
+            val (t0, site, nTasks) = Option(starts.get(j.jobId)).getOrElse((0L, "?", 0))
+            println(f"R6 JOB wall=${(System.nanoTime() - t0) / 1e9}%7.3f tasks=$nTasks%4d $site")
+          }
+        })
+        val t0 = System.nanoTime()
+        engRun()
+        println(f"R6 HEADJOB total=${(System.nanoTime() - t0) / 1e9}%.2f")
+
+      case "parse" =>
+        // PROBE3 twin: memory-resident parse throughput (200k x 30KB pages)
+        import org.apache.spark.sql.functions._
+        val big = graft.Bench.corpus(spark, 200000L, 250).select(col("html"))
+          .persist(org.apache.spark.storage.StorageLevel.MEMORY_ONLY)
+        big.count()
+        val runs = (1 to 5).map { _ =>
+          val t0 = System.nanoTime()
+          big.select(graft.functions.gf.extract_parsed(col("html")).as("p"))
+            .agg(sum(length(col("p.text")))).collect()
+          (System.nanoTime() - t0) / 1e9
+        }
+        println(f"R6 PARSE sec_min=${runs.min}%.2f tp=${200000L / runs.min}%.0f runs=${runs.map(r => f"$r%.2f").mkString(",")}")
+
       case "fetchparts" =>
         // decompose the fetch+parse+write stage (guide §1.4 noop isolation):
         // scan-only, scan+parse, scan+BHJ(sched)+parse, and the full write.

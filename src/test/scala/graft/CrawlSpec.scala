@@ -622,6 +622,10 @@ class RobotsSpec extends org.scalatest.funsuite.AnyFunSuite {
     assert(Robots.crawlDelayMs("User-agent: *\nDisallow: /x") == None)
     // repeated directives in one group: last wins
     assert(Robots.crawlDelayMs("User-agent: *\nCrawl-delay: 5\nCrawl-delay: 7") == Some(7000L))
+    // last VALID wins (ADVICE r5): a parseable-but-invalid trailing value
+    // (negative / infinite) must not silently discard an earlier valid one
+    assert(Robots.crawlDelayMs("User-agent: *\nCrawl-delay: 2\nCrawl-delay: -1") == Some(2000L))
+    assert(Robots.crawlDelayMs("User-agent: *\nCrawl-delay: 3\nCrawl-delay: Infinity") == Some(3000L))
     assert(Robots.toDelays(Seq(("a.test", txt), ("b.test", "User-agent: *\nDisallow: /"))) ==
       Map("a.test" -> 2000L))
     // configure() folds gating + delay into a CrawlConfig in one call
