@@ -1004,6 +1004,10 @@ class CrawlEngine(
       sum(when(!$"found", 1L).otherwise(0L)).as("not_found"),
       sum(when($"in_range", 1L).otherwise(0L)).as("in_range"),
       sum(when(!$"invariant_ok", 1L).otherwise(0L)).as("viol"),
+      // free upper bound on this batch's exploded link count (caps and the
+      // depth filter only shrink it) — the expansion plan selector below
+      // reads it instead of paying a separate count job over the link cache
+      sum(size($"outlinks")).as("links"),
       approx_count_distinct($"partition_id").as("nparts"))))
     val parsedDf = store.readLog("parsed", batchId, batchId - 1).get.drop("batch")
     val mrow = parseObs.get
@@ -1108,10 +1112,10 @@ class CrawlEngine(
     // genuinely-new survivors. The previous shape shuffled the link keys
     // against each state side and then anti-joined the full link rows up to
     // three more times. Above the cap (recrawl-everything batches) the
-    // r2-shaped shuffle fallback remains.
-    val linkCountForPlan =
-      if (linkKeyArr.isDefined) -1L else timed("link_count")(linksRaw.count())
-    val midPath = linkKeyArr.isEmpty && linkCountForPlan <= cfg.linksBroadcastMaxKeys
+    // r2-shaped shuffle fallback remains. The selector reads the parsed
+    // write's free links-sum observation (an upper bound — caps and the
+    // depth filter only shrink the real explode), not a count job.
+    val midPath = linkKeyArr.isEmpty && metric("links") <= cfg.linksBroadcastMaxKeys
     lazy val linkKeysBcast = broadcast(linksRaw.select("url_hash"))
     def membershipHits(table: String, fullDf: DataFrame, schemaOf: => DataFrame): DataFrame =
       linkKeyArr match {
