@@ -896,11 +896,11 @@ class CrawlEngine(
 
     // project the scheduled side to ONLY the columns the parse/emit path
     // consumes (guide §2.3 "project before the exchange"): url, priority_ts,
-    // discovered_batch never appear in the parsed log, yet they rode every
-    // fetch join — ~35% of the broadcast build bytes (the serial driver
-    // HashedRelation term) in the BHJ shape, and the same fraction of the
-    // outer-join shuffle in the semi-filter shape. The full-width schedDf
-    // stays cached for the open-corpus recovery below.
+    // discovered_batch never appear in the parsed log. Plan inspection
+    // (plans/r06) showed Catalyst's column pruning already drops them from
+    // the broadcast build through the cache, so this is insurance that makes
+    // the contract explicit at the source, not a measured win. The
+    // full-width schedDf stays cached for the open-corpus recovery below.
     val schedSlim = schedDf.select($"url_canon", $"url_hash", $"host", $"seed_id",
       $"depth", $"since_ts", $"end_ts", $"fetch_ordinal", $"sched_delay_ms")
 
@@ -1131,11 +1131,14 @@ class CrawlEngine(
     // ONE union-exclude anti-join instead of three chained antis (guide
     // §2.4): the three exclusion sets are all url_hash key sets, so linksRaw
     // is probed once against their union — one join (broadcast-hinted when
-    // every component is provably bounded: keyed ≤ 3×cap keys; mid ≤
-    // 3×linkCount after the processed semi) instead of three passes over the
-    // full link rows.
+    // every component is provably bounded) instead of three passes over the
+    // full link rows. processed is semi-filtered down to processed ∩ links
+    // on both hinted paths — identical anti-join result, and it keeps the
+    // hinted union ≤ 3×|links| even when a robots rule change makes the
+    // batch's blocked set frontier-sized.
     val processedExcl =
-      if (midPath) processedHashes.join(linkKeysBcast, Seq("url_hash"), "left_semi")
+      if (linkKeyArr.isDefined || midPath)
+        processedHashes.join(linkKeysBcast, Seq("url_hash"), "left_semi")
       else processedHashes
     val excludeKeys = processedExcl
       .unionByName(seenHit).unionByName(frontHit)
