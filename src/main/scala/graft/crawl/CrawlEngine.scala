@@ -1132,18 +1132,22 @@ class CrawlEngine(
     // §2.4): the three exclusion sets are all url_hash key sets, so linksRaw
     // is probed once against their union — one join (broadcast-hinted when
     // every component is provably bounded) instead of three passes over the
-    // full link rows. processed is semi-filtered down to processed ∩ links
-    // on both hinted paths — identical anti-join result, and it keeps the
-    // hinted union ≤ 3×|links| even when a robots rule change makes the
-    // batch's blocked set frontier-sized.
+    // full link rows. Mid path semi-filters processed down to
+    // processed ∩ links (identical anti-join result, union ≤ 3×|links|);
+    // the keyed path's processed set is sched (≤ cap) + blocked + missing,
+    // so its hint is gated on the blocked count — a robots rule change can
+    // make blocked frontier-sized, and then AQE must pick the strategy from
+    // runtime stats instead of a forced driver-built broadcast.
     val processedExcl =
-      if (linkKeyArr.isDefined || midPath)
-        processedHashes.join(linkKeysBcast, Seq("url_hash"), "left_semi")
+      if (midPath) processedHashes.join(linkKeysBcast, Seq("url_hash"), "left_semi")
       else processedHashes
     val excludeKeys = processedExcl
       .unionByName(seenHit).unionByName(frontHit)
     val excludeSide =
-      if (linkKeyArr.isDefined || midPath) broadcast(excludeKeys) else excludeKeys
+      if (midPath || (linkKeyArr.isDefined &&
+          robotsBlockedCount <= cfg.probePushdownMaxKeys))
+        broadcast(excludeKeys)
+      else excludeKeys
     val newFrontAdds = linksRaw
       .join(excludeSide, Seq("url_hash"), "left_anti")
       .withColumn("host", gf.url_host($"url_canon"))
